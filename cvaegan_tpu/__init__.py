@@ -1,0 +1,40 @@
+"""cvaegan_tpu — a TPU-native (JAX/Flax/pjit/Pallas) framework for
+imbalanced-tabular-data synthesis with the capabilities of the reference
+CVAE-GAN codebase (Codeuser0717/CVAE-GAN).
+
+Public API mirrors the reference's flat namespace (reference
+`src/__init__.py:1-21`): one trainer class per algorithm plus the
+downstream evaluation `Classifier` and `Logger`.
+
+Design notes (TPU-first, not a port):
+  * Whole-training-run fusion: each trainer compiles its full per-class
+    alternating-update round (D/C/G loops) into a single jitted epoch body
+    scanned over epochs — one device dispatch for the entire `fit()`.
+  * On-device class-conditional sampling from padded index tables replaces
+    the reference's per-label python dict of tensors.
+  * Batched on-device rejection sampling replaces the reference's
+    10-at-a-time host-round-trip confidence filter.
+  * Data parallelism is first-class via `jax.sharding.Mesh`; the same
+    train step runs on 1 chip or a pod (see `cvaegan_tpu.parallel`).
+"""
+
+from cvaegan_tpu.algorithms.cvae_gan import CVAEGAN
+from cvaegan_tpu.algorithms.cvae import CVAE
+from cvaegan_tpu.algorithms.vae import VAE
+from cvaegan_tpu.algorithms.vae_gan import VAEGAN
+from cvaegan_tpu.algorithms.gan import GAN
+from cvaegan_tpu.algorithms.cgan import CGAN
+from cvaegan_tpu.algorithms.sngan import SNGAN
+from cvaegan_tpu.algorithms.ctgan import CTGAN
+from cvaegan_tpu.algorithms.tmg_gan import TMGGAN
+from cvaegan_tpu.algorithms.qg_smote import QG_SMOTE
+from cvaegan_tpu.algorithms.rain_gan import RAIN_GAN
+from cvaegan_tpu.eval.classifier import Classifier
+from cvaegan_tpu.utils.logger import Logger
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CVAEGAN", "CVAE", "VAE", "VAEGAN", "GAN", "CGAN", "SNGAN",
+    "CTGAN", "TMGGAN", "QG_SMOTE", "RAIN_GAN", "Classifier", "Logger",
+]

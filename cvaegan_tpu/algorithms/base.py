@@ -1,0 +1,269 @@
+"""Uniform trainer API shared by all 11 algorithms.
+
+Reference API parity (`src/cvae_gan.py:59,339,347,380,263`):
+  fit(dataset), generate_samples(label, num),
+  generate_qualified_samples(label, num, threshold),
+  reconstruct_samples(samples, labels), loss_history, plot_loss_history().
+
+TPU-native execution model (NOT the reference's python-loop design):
+  * `fit` compiles the entire per-class alternating-update epoch into one
+    XLA program (`lax.scan` over classes, `lax.scan` over inner D/C/G
+    loops) and scans it over epochs in chunks — the reference dispatches
+    ~65 tiny optimizer steps per epoch from python
+    (`src/cvae_gan.py:100-216`); we dispatch once per 50 epochs.
+  * Class-conditional batches come from an on-device padded index table
+    (see `cvaegan_tpu.data.sampler`).
+  * `generate_qualified_samples` does batched on-device rejection
+    sampling instead of the reference's <=10-at-a-time host round trip
+    (`src/cvae_gan.py:347-378`), while preserving the observable
+    semantics: confidence threshold, correct-class check, and a
+    patience=20 give-up counter on empty candidate batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvaegan_tpu.core import config as config_lib
+from cvaegan_tpu.data.sampler import ClassIndex
+from cvaegan_tpu.data.tabular import TabularDataset
+
+
+def _as_arrays(dataset) -> Tuple[np.ndarray, np.ndarray]:
+    if isinstance(dataset, TabularDataset):
+        return dataset.tr_samples, dataset.tr_labels
+    if isinstance(dataset, tuple) and len(dataset) == 2:
+        return np.asarray(dataset[0], np.float32), np.asarray(dataset[1], np.int32)
+    raise TypeError(
+        "fit() expects a TabularDataset or an (samples, labels) tuple, got "
+        f"{type(dataset)!r}"
+    )
+
+
+class GenerativeTrainer:
+    """Base class. Subclasses set `name`, `config_key`, `loss_keys` and
+    implement `_build` and `_epoch_body`."""
+
+    name: str = "base"
+    config_key: str = ""
+    loss_keys: Tuple[str, ...] = ()
+    #: epochs per device dispatch; 50 matches the reference's progress
+    #: print cadence (`src/cvae_gan.py:225`).
+    epoch_chunk: int = 50
+
+    def __init__(self, seed: Optional[int] = None,
+                 settings: Optional[config_lib.Settings] = None):
+        self.settings = settings or config_lib.settings
+        self.gan_cfg = self.settings.gan
+        self.hparams = dict(config_lib.MODEL_CONFIGS.get(self.config_key, {}))
+        seed = self.settings.seed if seed is None else seed
+        self._root_key = jax.random.PRNGKey(seed)
+        self._key_counter = 0
+
+        self.feature_num: int = 0
+        self.label_num: int = 0
+        self.state: Optional[Dict[str, Any]] = None
+        self.modules: Dict[str, Any] = {}
+        self.txs: Dict[str, Any] = {}
+        self._data: Optional[Dict[str, Any]] = None
+        self.loss_history: Dict[str, list] = {k: [] for k in self.loss_keys}
+        self._gen_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ rng
+    def _next_key(self) -> jax.Array:
+        self._key_counter += 1
+        return jax.random.fold_in(self._root_key, self._key_counter)
+
+    # ------------------------------------------------------- subclass hooks
+    def _build(self, key: jax.Array) -> Dict[str, Any]:
+        """Create modules/optimizers and return the initial state dict."""
+        raise NotImplementedError
+
+    def _epoch_body(
+        self, state: Dict[str, Any], data: Dict[str, Any], epoch: jnp.ndarray,
+        key: jax.Array,
+    ) -> Tuple[Dict[str, Any], Dict[str, jnp.ndarray]]:
+        """One full training epoch. Returns (new_state, scalar loss dict)."""
+        raise NotImplementedError
+
+    # ---------------------------------------------------------------- setup
+    def _prepare(self, dataset) -> None:
+        samples, labels = _as_arrays(dataset)
+        self.feature_num = int(samples.shape[1])
+        self.label_num = int(labels.max()) + 1 if labels.size else 0
+        self._data = {
+            "samples": jnp.asarray(samples),
+            "labels": jnp.asarray(labels),
+            "index": ClassIndex.build(labels, self.label_num),
+        }
+        if self.state is None:
+            self.state = self._build(self._next_key())
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, dataset) -> None:
+        self._prepare(dataset)
+        epochs = self.gan_cfg.epochs
+        chunk = max(1, min(self.epoch_chunk, epochs))
+
+        @functools.partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0,))
+        def run_chunk(state, key, epoch0, data, n_epochs):
+            def body(carry, i):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                state, losses = self._epoch_body(state, data, epoch0 + i, sub)
+                return (state, key), losses
+
+            (state, key), losses = jax.lax.scan(
+                body, (state, key), jnp.arange(n_epochs)
+            )
+            return state, losses
+
+        state = self.state
+        key = self._next_key()
+        e = 0
+        while e < epochs:
+            n = min(chunk, epochs - e)
+            key, sub = jax.random.split(key)
+            state, losses = run_chunk(state, sub, jnp.int32(e), self._data, n_epochs=n)
+            losses = jax.device_get(losses)
+            for k in self.loss_keys:
+                self.loss_history[k].extend(np.asarray(losses[k]).tolist())
+            head = ", ".join(
+                f"{k}: {float(np.asarray(losses[k])[0]):.4f}" for k in self.loss_keys
+            )
+            print(f"{self.name} epoch {e}/{epochs}, {head}")
+            e += n
+        self.state = state
+        # Invalidate jitted generation closures captured over the old state.
+        self._gen_cache.clear()
+
+    # ------------------------------------------------------------ generation
+    def _generator_forward(self, state, z, labels, key):
+        """Eval-mode generator forward -> samples [n, feature_num].
+        Subclasses with non-standard generators override."""
+        raise NotImplementedError
+
+    def _classifier_logits(self, state, x):
+        """Eval-mode companion-classifier logits, or None if the algorithm
+        has no companion classifier (e.g. VAE-GAN)."""
+        return None
+
+    def generate_samples(self, target_label: int, num: int) -> np.ndarray:
+        """Sample `num` rows of class `target_label` from the prior
+        (reference `src/cvae_gan.py:339-345`)."""
+        assert self.state is not None, "call fit() first"
+        fn = self._gen_cache.get("gen")
+        if fn is None:
+            def _gen(state, key, labels):
+                kz, kg = jax.random.split(key)
+                z = jax.random.normal(kz, (labels.shape[0], self.gan_cfg.z_size))
+                return self._generator_forward(state, z, labels, kg)
+
+            fn = jax.jit(_gen)
+            self._gen_cache["gen"] = fn
+        labels = jnp.full((num,), target_label, jnp.int32)
+        out = fn(self.state, self._next_key(), labels)
+        return np.asarray(out)
+
+    def generate_qualified_samples(
+        self, target_label: int, num: int,
+        confidence_threshold: Optional[float] = None,
+    ) -> np.ndarray:
+        """Classifier-filtered generation (reference
+        `src/cvae_gan.py:347-378`): keep samples with
+        max softmax prob > threshold AND argmax == target_label; give up
+        after 20 consecutive candidate batches with zero survivors."""
+        assert self.state is not None, "call fit() first"
+        if confidence_threshold is None:
+            confidence_threshold = self.hparams.get("confidence_threshold", 0.5)
+
+        fn = self._gen_cache.get("qualified")
+        if fn is None:
+            def _qualified(state, key, labels, threshold):
+                kz, kg = jax.random.split(key)
+                z = jax.random.normal(kz, (labels.shape[0], self.gan_cfg.z_size))
+                x = self._generator_forward(state, z, labels, kg)
+                logits = self._classifier_logits(state, x)
+                probs = jax.nn.softmax(logits, axis=-1)
+                max_prob = jnp.max(probs, axis=-1)
+                pred = jnp.argmax(probs, axis=-1)
+                valid = (max_prob > threshold) & (pred == labels)
+                return x, valid
+
+            fn = jax.jit(_qualified)
+            self._gen_cache["qualified"] = fn
+
+        # Batched rejection sampling: oversample on device, filter on host.
+        cand = max(256, min(4096, 2 * num))
+        labels = jnp.full((cand,), target_label, jnp.int32)
+        collected: list = []
+        total = 0
+        patience = 20
+        while total < num and patience > 0:
+            x, valid = fn(self.state, self._next_key(), labels,
+                          jnp.float32(confidence_threshold))
+            x = np.asarray(x)[np.asarray(valid)]
+            if len(x) == 0:
+                patience -= 1
+                continue
+            take = x[: num - total]
+            collected.append(take)
+            total += len(take)
+        if not collected:
+            return np.zeros((0, self.feature_num), np.float32)
+        return np.concatenate(collected, axis=0)
+
+    def reconstruct_samples(self, samples, labels) -> np.ndarray:
+        """Encode-then-decode round trip (reference
+        `src/cvae_gan.py:380-397`). Only meaningful for VAE-family models;
+        others raise."""
+        raise NotImplementedError(f"{self.name} has no encoder")
+
+    # ------------------------------------------------------------- plotting
+    def plot_loss_history(self):
+        """Per-loss curves + a combined plot saved under gan_outs
+        (reference `src/cvae_gan.py:263-337`)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        keys = [k for k in self.loss_keys if self.loss_history.get(k)]
+        if not keys:
+            return None
+        n = len(keys)
+        rows = (n + 1) // 2
+        plt.figure(figsize=(12, 4 * rows))
+        for i, k in enumerate(keys):
+            plt.subplot(rows, 2, i + 1)
+            plt.plot(self.loss_history[k])
+            plt.xlabel("Epoch")
+            plt.ylabel("Loss")
+            plt.title(k)
+        plt.tight_layout()
+        out = self.settings.paths.gan_outs / f"{self.name}_loss_history.jpg"
+        plt.savefig(out)
+        plt.close()
+
+        plt.figure(figsize=(12, 6))
+        for k in keys:
+            vals = self.loss_history[k]
+            if k == "adv_loss":
+                vals = [abs(v) for v in vals]
+                plt.plot(vals, label=f"{k} (abs)")
+            else:
+                plt.plot(vals, label=k)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.title(f"{self.name} loss history")
+        plt.legend()
+        plt.grid(True, alpha=0.3)
+        out2 = self.settings.paths.gan_outs / f"{self.name}_combined_loss.jpg"
+        plt.savefig(out2)
+        plt.close()
+        print(f"loss curves saved to {out} and {out2}")
+        return out

@@ -1,0 +1,72 @@
+"""On-device class-conditional batch sampling.
+
+TPU-native replacement for the reference's per-label python dict built by
+O(n^2) `torch.cat` (`src/cvae_gan.py:238-245`) and its host-side
+`_get_target_samples` resampling (`:247-260`): the whole train set lives in
+device memory, and a padded [label_num, max_count] index table lets a
+jitted step gather a class-conditional batch with two array ops.
+
+Divergence note: the reference samples WITHOUT replacement when a class has
+more rows than the batch; we sample with replacement (uniform over the
+class) in all cases — statistically equivalent for SGD and branch-free
+under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class ClassIndex:
+    """Padded per-class row-index table for class-conditional gathers."""
+
+    table: jnp.ndarray   # [label_num, max_count] int32, rows padded with idx 0
+    counts: jnp.ndarray  # [label_num] int32 true class sizes
+
+    @classmethod
+    def build(cls, labels: np.ndarray, label_num: int) -> "ClassIndex":
+        labels = np.asarray(labels)
+        counts = np.bincount(labels, minlength=label_num).astype(np.int32)
+        max_count = max(int(counts.max()), 1)
+        table = np.zeros((label_num, max_count), dtype=np.int32)
+        for c in range(label_num):
+            idx = np.nonzero(labels == c)[0].astype(np.int32)
+            table[c, : len(idx)] = idx
+        return cls(table=jnp.asarray(table), counts=jnp.asarray(counts))
+
+    @property
+    def label_num(self) -> int:
+        return self.table.shape[0]
+
+
+def sample_class_batch(
+    key: jax.Array,
+    index: ClassIndex,
+    samples: jnp.ndarray,
+    class_id: jnp.ndarray,
+    batch_size: int,
+) -> jnp.ndarray:
+    """Draw `batch_size` rows of `samples` belonging to `class_id`.
+
+    `class_id` may be a traced scalar, so one compiled step serves every
+    class. Uniform with replacement over the class's rows.
+    """
+    count = jnp.maximum(index.counts[class_id], 1)
+    r = jax.random.randint(key, (batch_size,), 0, count)
+    rows = index.table[class_id, r]
+    return samples[rows]
+
+
+def sample_random_batch(
+    key: jax.Array, samples: jnp.ndarray, labels: jnp.ndarray, batch_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform batch over the whole train set (unconditional family,
+    reference `src/gan.py:149-185`)."""
+    r = jax.random.randint(key, (batch_size,), 0, samples.shape[0])
+    return samples[r], labels[r]

@@ -1,0 +1,261 @@
+"""Downstream evaluation classifier.
+
+Capability parity with reference `src/classifier.py:11-303`:
+fit / predict / test / binary_test / print_metrics / plot_roc_curve, macro
+P/R/F1 + per-class classification report + confusion matrix, one-vs-rest
+ROC curves saved as jpg. Metrics come from sklearn on host; training is a
+single jitted XLA program (scan over epochs x minibatches) instead of the
+reference's 100-epoch python DataLoader loop (`src/classifier.py:33-43`).
+
+The scripts' warm-start idiom `clf.model = gan.classifier`
+(`scripts/train_cvae_gan.py:144-145`) becomes `clf.warm_start_from(gan)`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cvaegan_tpu.core import config as config_lib
+from cvaegan_tpu.core import losses
+from cvaegan_tpu.data.tabular import TabularDataset
+from cvaegan_tpu.models import mlp
+from cvaegan_tpu.utils.logger import Logger
+
+
+def _train_arrays(dataset):
+    if isinstance(dataset, TabularDataset):
+        return dataset.tr_samples, dataset.tr_labels
+    x, y = dataset
+    return np.asarray(x, np.float32), np.asarray(y, np.int32)
+
+
+def _test_arrays(dataset):
+    if isinstance(dataset, TabularDataset):
+        return dataset.te_samples, dataset.te_labels
+    x, y = dataset
+    return np.asarray(x, np.float32), np.asarray(y, np.int32)
+
+
+class Classifier:
+    def __init__(self, name: str, seed: Optional[int] = None,
+                 settings: Optional[config_lib.Settings] = None):
+        self.settings = settings or config_lib.settings
+        self.cfg = self.settings.classifier
+        self.name = f"{name}_classifier"
+        self.logger = Logger(name)
+        seed = self.settings.seed if seed is None else seed
+        self._key = jax.random.PRNGKey(seed + 1)
+        self._key_counter = 0
+
+        self.module: Optional[mlp.Classifier] = None
+        self.params: Any = None
+        self.label_num: int = 0
+        self.confusion_matrix: Optional[np.ndarray] = None
+        self.metrics: Dict[str, float] = {"Precision": 0.0, "Recall": 0.0, "F1": 0.0}
+        self.class_metrics = None
+
+    def _next_key(self):
+        self._key_counter += 1
+        return jax.random.fold_in(self._key, self._key_counter)
+
+    def _ensure_built(self, feature_num: int, label_num: int):
+        if self.module is None:
+            self.label_num = label_num
+            self.module = mlp.Classifier(num_classes=label_num)
+            variables = self.module.init(
+                {"params": self._next_key(), "dropout": self._next_key()},
+                jnp.zeros((2, feature_num)), train=False,
+            )
+            self.params = variables["params"]
+
+    def warm_start_from(self, trainer) -> None:
+        """Adopt a trainer's companion classifier (reference warm-start
+        `clf.model = gan.classifier`, `scripts/train_cvae_gan.py:144-145`)."""
+        self.module = trainer.modules["classifier"]
+        self.params = trainer.state["classifier"].params
+        self.label_num = trainer.label_num
+
+    # -------------------------------------------------------------- train
+    def fit(self, dataset) -> None:
+        x, y = _train_arrays(dataset)
+        n, feature_num = x.shape
+        self._ensure_built(feature_num, int(y.max()) + 1)
+        self.logger.info("Started training")
+
+        bs = self.cfg.batch_size
+        nb = -(-n // bs)  # ceil
+        pad = nb * bs - n
+        x_dev = jnp.asarray(x)
+        y_dev = jnp.asarray(y)
+        base_w = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
+        tx = optax.adam(self.cfg.lr)
+        module = self.module
+
+        @functools.partial(jax.jit, static_argnames=("epochs",), donate_argnums=(0, 1))
+        def train(params, opt_state, key, epochs):
+            def epoch(carry, ekey):
+                params, opt_state = carry
+                kperm, kdrop = jax.random.split(ekey)
+                perm = jax.random.permutation(kperm, n)
+                perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+                xb = x_dev[perm].reshape(nb, bs, feature_num)
+                yb = y_dev[perm].reshape(nb, bs)
+                wb = base_w.reshape(nb, bs)
+
+                def batch_step(carry, inp):
+                    params, opt_state, i = carry
+                    bx, by, bw = inp
+
+                    def loss_fn(p):
+                        logits = module.apply(
+                            {"params": p}, bx, train=True,
+                            rngs={"dropout": jax.random.fold_in(kdrop, i)},
+                        )
+                        return losses.weighted_cross_entropy(logits, by, bw)
+
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state, i + 1), loss
+
+                (params, opt_state, _), losses_ = jax.lax.scan(
+                    batch_step, (params, opt_state, 0), (xb, yb, wb)
+                )
+                return (params, opt_state), losses_[-1]
+
+            (params, opt_state), _ = jax.lax.scan(
+                epoch, (params, opt_state), jax.random.split(key, epochs)
+            )
+            return params, opt_state
+
+        opt_state = tx.init(self.params)
+        self.params, _ = train(self.params, opt_state, self._next_key(),
+                               epochs=self.cfg.epochs)
+        self.logger.info("Finished training")
+
+    # ------------------------------------------------------------ predict
+    def _logits(self, x: np.ndarray) -> np.ndarray:
+        fn = getattr(self, "_logits_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda p, v: self.module.apply({"params": p}, v,
+                                                         train=False))
+            self._logits_fn = fn
+        return np.asarray(fn(self.params, jnp.asarray(x, jnp.float32)))
+
+    def predict(self, x, use_prob: bool = False) -> np.ndarray:
+        logits = self._logits(np.asarray(x, np.float32))
+        if use_prob:
+            return logits
+        return np.argmax(logits, axis=1)
+
+    # --------------------------------------------------------------- test
+    def _compute_metrics(self, real, pred, labels=None):
+        from sklearn import metrics as skm
+
+        self.confusion_matrix = skm.confusion_matrix(
+            y_true=real, y_pred=pred, labels=labels
+        )
+        for key, fn in (("Precision", skm.precision_score),
+                        ("Recall", skm.recall_score), ("F1", skm.f1_score)):
+            self.metrics[key] = fn(y_true=real, y_pred=pred, average="macro",
+                                   zero_division=0)
+        self.class_metrics = skm.classification_report(
+            y_true=real, y_pred=pred, labels=labels, output_dict=True,
+            zero_division=0,
+        )
+
+    def test(self, dataset) -> None:
+        """Multiclass macro P/R/F1 + per-class report
+        (`src/classifier.py:56-106`)."""
+        x, y = _test_arrays(dataset)
+        pred = self.predict(x)
+        self._compute_metrics(y, pred, labels=list(range(self.label_num)))
+
+    def binary_test(self, dataset) -> None:
+        """Same, with labels>0 squashed to 1 (`src/classifier.py:108-161`)."""
+        x, y = _test_arrays(dataset)
+        pred = (self.predict(x) > 0).astype(np.int32)
+        real = (np.asarray(y) > 0).astype(np.int32)
+        self._compute_metrics(real, pred)
+
+    # ------------------------------------------------------------ reports
+    def print_metrics(self, decimals: int = 4, print_class_metrics: bool = True):
+        """Formatted metric dump (`src/classifier.py:163-208`)."""
+        print("Overall metrics:")
+        print({k: round(v, decimals) for k, v in self.metrics.items()})
+        if print_class_metrics and self.class_metrics is not None:
+            print("\nPer-class metrics:")
+            for key, value in self.class_metrics.items():
+                if key in ("accuracy", "macro avg", "weighted avg"):
+                    continue
+                try:
+                    class_idx = int(key)
+                except ValueError:
+                    continue
+                print(f"\nclass {class_idx}:")
+                print(f"  Precision: {round(value['precision'], decimals)}")
+                print(f"  Recall: {round(value['recall'], decimals)}")
+                print(f"  F1-Score: {round(value['f1-score'], decimals)}")
+                print(f"  Support: {value['support']}")
+            for avg in ("macro avg", "weighted avg"):
+                if avg in self.class_metrics:
+                    v = self.class_metrics[avg]
+                    print(f"\n{avg}:")
+                    print(f"  Precision: {round(v['precision'], decimals)}")
+                    print(f"  Recall: {round(v['recall'], decimals)}")
+                    print(f"  F1-Score: {round(v['f1-score'], decimals)}")
+                    print(f"  Support: {v['support']}")
+            if "accuracy" in self.class_metrics:
+                print(f"\nAccuracy: {round(self.class_metrics['accuracy'], decimals)}")
+
+    def plot_roc_curve(self, dataset, is_binary: bool = False):
+        """OvR multiclass or binary ROC/AUC jpg (`src/classifier.py:210-303`).
+        Scores are raw logits, matching the reference."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn import metrics as skm
+
+        x, y = _test_arrays(dataset)
+        logits = self._logits(x)
+        plt.figure(figsize=(10, 8))
+        if not is_binary and logits.shape[1] > 2:
+            from sklearn.preprocessing import label_binarize
+
+            y_bin = label_binarize(y, classes=list(range(self.label_num)))
+            colors = ["aqua", "darkorange", "cornflowerblue", "green", "red",
+                      "purple"]
+            for i in range(y_bin.shape[1]):
+                color = colors[i % len(colors)]
+                fpr, tpr, _ = skm.roc_curve(y_bin[:, i], logits[:, i])
+                auc = skm.roc_auc_score(y_bin[:, i], logits[:, i])
+                plt.plot(fpr, tpr, color=color, lw=2,
+                         label=f"ROC curve of class {i} (area = {auc:0.2f})")
+        else:
+            score = logits[:, 1] if logits.shape[1] > 1 else logits[:, 0]
+            y_test = np.where(np.asarray(y) > 0, 1, 0)
+            fpr, tpr, _ = skm.roc_curve(y_test, score)
+            auc = skm.roc_auc_score(y_test, score)
+            plt.plot(fpr, tpr, color="darkorange", lw=2,
+                     label=f"ROC curve (area = {auc:0.2f})")
+        plt.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--")
+        plt.xlim([0.0, 1.0])
+        plt.ylim([0.0, 1.05])
+        plt.xlabel("False Positive Rate")
+        plt.ylabel("True Positive Rate")
+        plt.title(f"{self.name} Receiver Operating Characteristic (ROC) Curve")
+        plt.legend(loc="lower right")
+        plt.grid(True, alpha=0.3)
+        model_name = self.name.replace("_classifier", "")
+        suffix = "binary" if is_binary else "multiclass"
+        out = self.settings.paths.gan_outs / f"{model_name}_roc_curve_{suffix}.jpg"
+        plt.savefig(out)
+        plt.close()
+        print(f"ROC curve saved to {out}")
+        return out

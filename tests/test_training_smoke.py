@@ -1,0 +1,85 @@
+"""Integration smoke tests: short training runs on the blob fixture for
+each implemented algorithm — losses finite, API surface intact.
+(CPU backend; the reference's visual t-SNE tests have their own module.)"""
+
+import numpy as np
+import pytest
+
+
+def _smoke_conditional(trainer_cls, ds):
+    m = trainer_cls()
+    m.fit(ds)
+    for k, hist in m.loss_history.items():
+        assert len(hist) == 2, k
+        assert np.isfinite(hist).all(), k
+    s = m.generate_samples(0, 16)
+    assert s.shape == (16, ds.feature_num)
+    assert np.isfinite(s).all()
+    q = m.generate_qualified_samples(0, 4, confidence_threshold=0.0)
+    assert q.shape[1:] == (ds.feature_num,) if q.size else True
+    return m
+
+
+def test_cvae_gan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import CVAEGAN
+
+    m = _smoke_conditional(CVAEGAN, blob_dataset)
+    r = m.reconstruct_samples(blob_dataset.tr_samples[:4],
+                              blob_dataset.tr_labels[:4])
+    assert r.shape == (4, 30)
+
+
+def test_vae_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import VAE
+
+    m = VAE()
+    m.fit(blob_dataset)
+    assert np.isfinite(m.loss_history["recon_loss"]).all()
+    s = m.generate_samples(8)
+    assert s.shape == (8, 30)
+    r = m.reconstruct_samples(blob_dataset.tr_samples[:4])
+    assert r.shape == (4, 30)
+
+
+def test_refit_continues(blob_dataset, fast_settings):
+    """fit() twice must keep working (state donation must not leave
+    dangling references)."""
+    from cvaegan_tpu import VAE
+
+    m = VAE()
+    m.fit(blob_dataset)
+    m.fit(blob_dataset)
+    assert len(m.loss_history["recon_loss"]) == 4
+
+
+def test_classifier_end_to_end(blob_dataset, fast_settings):
+    from cvaegan_tpu import Classifier
+
+    fast_settings.classifier.epochs = 30
+    clf = Classifier("pytest")
+    clf.fit(blob_dataset)
+    clf.test(blob_dataset)
+    assert set(clf.metrics) == {"Precision", "Recall", "F1"}
+    assert clf.metrics["F1"] > 0.9  # blobs are trivially separable
+    assert clf.confusion_matrix.shape == (5, 5)
+    clf.binary_test(blob_dataset)
+    assert clf.metrics["F1"] > 0.9
+    pred = clf.predict(blob_dataset.te_samples)
+    assert pred.shape == (100,)
+
+
+def test_classifier_warm_start(blob_dataset, fast_settings):
+    from cvaegan_tpu import CVAEGAN, Classifier
+
+    m = CVAEGAN()
+    m.fit(blob_dataset)
+    clf = Classifier("warm")
+    clf.warm_start_from(m)
+    clf.test(blob_dataset)  # must predict without fit
+
+
+def test_generate_before_fit_raises():
+    from cvaegan_tpu import CVAEGAN
+
+    with pytest.raises(AssertionError):
+        CVAEGAN().generate_samples(0, 4)
