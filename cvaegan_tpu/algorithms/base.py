@@ -55,6 +55,8 @@ class GenerativeTrainer:
     #: epochs per device dispatch; 50 matches the reference's progress
     #: print cadence (`src/cvae_gan.py:225`).
     epoch_chunk: int = 50
+    #: set False to silence per-chunk progress prints (bench mode).
+    verbose: bool = True
 
     def __init__(self, seed: Optional[int] = None,
                  settings: Optional[config_lib.Settings] = None):
@@ -133,10 +135,12 @@ class GenerativeTrainer:
             losses = jax.device_get(losses)
             for k in self.loss_keys:
                 self.loss_history[k].extend(np.asarray(losses[k]).tolist())
-            head = ", ".join(
-                f"{k}: {float(np.asarray(losses[k])[0]):.4f}" for k in self.loss_keys
-            )
-            print(f"{self.name} epoch {e}/{epochs}, {head}")
+            if self.verbose:
+                head = ", ".join(
+                    f"{k}: {float(np.asarray(losses[k])[0]):.4f}"
+                    for k in self.loss_keys
+                )
+                print(f"{self.name} epoch {e}/{epochs}, {head}")
             e += n
         self.state = state
         # Invalidate jitted generation closures captured over the old state.

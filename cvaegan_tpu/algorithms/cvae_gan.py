@@ -36,6 +36,7 @@ from cvaegan_tpu.core.state import (
 )
 from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import mlp
+from cvaegan_tpu.parallel.mesh import shard_leading
 
 
 class CVAEGAN(GenerativeTrainer):
@@ -89,8 +90,8 @@ class CVAEGAN(GenerativeTrainer):
 
         x_real = sample_class_batch(k_x, data["index"], data["samples"],
                                     class_id, cfg.batch_size)
-        y = jnp.full((cfg.batch_size,), class_id, jnp.int32)
-        z = jax.random.normal(k_z, (cfg.batch_size, cfg.z_size))
+        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         # Generator runs in train mode under no-grad: BN running stats
         # still update (torch `.train()` + `no_grad`, `src/cvae_gan.py:110-113`).
         g = state["generator"]
@@ -103,15 +104,18 @@ class CVAEGAN(GenerativeTrainer):
         d = state["discriminator"]
 
         def loss_fn(dp):
-            (d_real, _), m1 = dis.apply(
-                {"params": dp, **d.mutables}, x_real, y, train=True,
+            # One fused forward over concat(real, fake): per-element dropout
+            # makes this distributionally identical to the reference's two
+            # forwards, at half the kernel-chain latency. (Divergence: one
+            # spectral power iteration per step instead of two.)
+            both = jnp.concatenate([x_real, x_fake], axis=0)
+            yy = jnp.concatenate([y, y], axis=0)
+            (scores, _), m1 = dis.apply(
+                {"params": dp, **d.mutables}, both, yy, train=True,
                 rngs={"dropout": k_d1}, mutable=["spectral"],
             )
-            (d_fake, _), m2 = dis.apply(
-                {"params": dp, **dict(m1)}, x_fake, y, train=True,
-                rngs={"dropout": k_d2}, mutable=["spectral"],
-            )
-            return losses.wasserstein_d_loss(d_real, d_fake), {"mutables": dict(m2)}
+            d_real, d_fake = jnp.split(scores, 2, axis=0)
+            return losses.wasserstein_d_loss(d_real, d_fake), {"mutables": dict(m1)}
 
         new_d, aux = grad_update(d, self.txs["discriminator"], loss_fn)
         return {**state, "discriminator": new_d}, aux["loss"]
@@ -125,8 +129,8 @@ class CVAEGAN(GenerativeTrainer):
 
         x_real = sample_class_batch(k_x, data["index"], data["samples"],
                                     class_id, cfg.batch_size)
-        y = jnp.full((cfg.batch_size,), class_id, jnp.int32)
-        z = jax.random.normal(k_z, (cfg.batch_size, cfg.z_size))
+        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g = state["generator"]
         (x_fake, _), g_mut = gen.apply(
             {"params": g.params, **g.mutables}, z, y, train=True,
@@ -137,10 +141,11 @@ class CVAEGAN(GenerativeTrainer):
         c = state["classifier"]
 
         def loss_fn(cp):
-            real_logits = clf.apply({"params": cp}, x_real, train=True,
-                                    rngs={"dropout": k_c1})
-            fake_logits = clf.apply({"params": cp}, x_fake, train=True,
-                                    rngs={"dropout": k_c2})
+            # Fused real+fake forward (see _d_step note).
+            both = jnp.concatenate([x_real, x_fake], axis=0)
+            logits = clf.apply({"params": cp}, both, train=True,
+                               rngs={"dropout": k_c1})
+            real_logits, fake_logits = jnp.split(logits, 2, axis=0)
             loss = losses.cross_entropy(real_logits, y) + losses.cross_entropy(
                 fake_logits, y
             )
@@ -160,8 +165,9 @@ class CVAEGAN(GenerativeTrainer):
 
         x_real = sample_class_batch(k_x, data["index"], data["samples"],
                                     class_id, cfg.batch_size)
-        y = jnp.full((cfg.batch_size,), class_id, jnp.int32)
-        z_prior = jax.random.normal(k_z, (cfg.batch_size, cfg.z_size))
+        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        z_prior = shard_leading(
+            jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
 
         e = state["encoder"]
         g = state["generator"]

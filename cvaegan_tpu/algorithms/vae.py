@@ -148,46 +148,10 @@ class VAE(GenerativeTrainer):
         z = jax.random.normal(self._next_key(), (num, self.gan_cfg.z_size))
         return np.asarray(fn(self.state, self._next_key(), z))
 
-    def generate_qualified_samples(self, target_label: int, num: int,
-                                   confidence_threshold=None):
-        """Unconditional generation filtered to `target_label` by the aux
-        classifier (`src/vae.py:generate_qualified_samples`)."""
-        import numpy as np
-
-        assert self.state is not None, "call fit() first"
-        if confidence_threshold is None:
-            confidence_threshold = self.hparams.get("confidence_threshold", 0.5)
-        fn = self._gen_cache.get("qualified")
-        if fn is None:
-            def _qualified(state, key, target, threshold, n):
-                z = jax.random.normal(key, (n, self.gan_cfg.z_size))
-                x = self._generator_forward(state, z, None, key)
-                logits = self._classifier_logits(state, x)
-                probs = jax.nn.softmax(logits, axis=-1)
-                valid = (jnp.max(probs, -1) > threshold) & (
-                    jnp.argmax(probs, -1) == target
-                )
-                return x, valid
-
-            import functools
-            fn = jax.jit(_qualified, static_argnames=("n",))
-            self._gen_cache["qualified"] = fn
-
-        cand = max(256, min(4096, 2 * num))
-        collected, total, patience = [], 0, 20
-        while total < num and patience > 0:
-            x, valid = fn(self.state, self._next_key(), jnp.int32(target_label),
-                          jnp.float32(confidence_threshold), n=cand)
-            x = np.asarray(x)[np.asarray(valid)]
-            if len(x) == 0:
-                patience -= 1
-                continue
-            take = x[: num - total]
-            collected.append(take)
-            total += len(take)
-        if not collected:
-            return np.zeros((0, self.feature_num), np.float32)
-        return np.concatenate(collected, axis=0)
+    # generate_qualified_samples: inherited from the base class — the
+    # unconditional generator simply ignores the label argument while the
+    # aux classifier filters to the requested class
+    # (`src/vae.py:generate_qualified_samples` semantics).
 
     def reconstruct_samples(self, samples):  # type: ignore[override]
         """Unconditional encode->decode (`src/vae.py:reconstruct_samples`)."""

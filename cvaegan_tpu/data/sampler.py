@@ -57,10 +57,12 @@ def sample_class_batch(
     `class_id` may be a traced scalar, so one compiled step serves every
     class. Uniform with replacement over the class's rows.
     """
+    from cvaegan_tpu.parallel.mesh import shard_leading
+
     count = jnp.maximum(index.counts[class_id], 1)
     r = jax.random.randint(key, (batch_size,), 0, count)
     rows = index.table[class_id, r]
-    return samples[rows]
+    return shard_leading(samples[rows])
 
 
 def sample_random_batch(
@@ -68,5 +70,7 @@ def sample_random_batch(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Uniform batch over the whole train set (unconditional family,
     reference `src/gan.py:149-185`)."""
+    from cvaegan_tpu.parallel.mesh import shard_leading
+
     r = jax.random.randint(key, (batch_size,), 0, samples.shape[0])
-    return samples[r], labels[r]
+    return shard_leading(samples[r]), shard_leading(labels[r])

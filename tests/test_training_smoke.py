@@ -83,3 +83,71 @@ def test_generate_before_fit_raises():
 
     with pytest.raises(AssertionError):
         CVAEGAN().generate_samples(0, 4)
+
+
+def test_cvae_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import CVAE
+
+    m = _smoke_conditional(CVAE, blob_dataset)
+    r = m.reconstruct_samples(blob_dataset.tr_samples[:4],
+                              blob_dataset.tr_labels[:4])
+    assert r.shape == (4, 30)
+
+
+def test_cgan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import CGAN
+
+    _smoke_conditional(CGAN, blob_dataset)
+
+
+def test_gan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import GAN
+
+    m = GAN()
+    m.fit(blob_dataset)
+    assert np.isfinite(m.loss_history["adv_loss"]).all()
+    s = m.generate_samples(8)
+    assert s.shape == (8, 30)
+    q = m.generate_qualified_samples(0, 4, confidence_threshold=0.0)
+    assert q.shape[1:] == (30,) if q.size else True
+
+
+def test_vae_gan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import VAEGAN
+
+    m = VAEGAN()
+    m.fit(blob_dataset)
+    for k in ("recon_loss", "kl_loss", "adv_loss"):
+        assert np.isfinite(m.loss_history[k]).all()
+    s = m.generate_samples(8)
+    assert s.shape == (8, 30)
+    r = m.reconstruct_samples(blob_dataset.tr_samples[:4])
+    assert r.shape == (4, 30)
+    with pytest.raises(NotImplementedError):
+        m.generate_qualified_samples(0, 4)
+
+
+def test_sngan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import SNGAN
+
+    m = SNGAN()
+    m.fit(blob_dataset)
+    for k in ("d_loss", "g_loss", "class_loss"):
+        assert np.isfinite(m.loss_history[k]).all(), k
+    s = m.generate_samples(0, 8)
+    assert s.shape == (8, 30)
+
+
+def test_ctgan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import CTGAN
+
+    m = CTGAN()
+    m.fit(blob_dataset)
+    for k in ("d_loss", "g_loss", "gp_loss", "class_loss"):
+        assert np.isfinite(m.loss_history[k]).all(), k
+    s = m.generate_samples(0, 8)
+    assert s.shape == (8, 30)
+    # CTGAN output is tanh-bounded
+    assert s.min() >= -1.0 and s.max() <= 1.0
+    metrics = m.calculate_metrics(blob_dataset.tr_samples[:50], s)
+    assert set(metrics) == {"mean_difference", "cov_difference", "mmd_approx"}
