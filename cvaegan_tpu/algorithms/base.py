@@ -142,6 +142,12 @@ class GenerativeTrainer:
                 )
                 print(f"{self.name} epoch {e}/{epochs}, {head}")
             e += n
+            if hasattr(self, "_on_chunk_end"):
+                # Expose the freshly-trained state to generation APIs used
+                # inside the hook (e.g. TMG-GAN scatter snapshots).
+                self.state = state
+                self._gen_cache.clear()
+                self._on_chunk_end(e)
         self.state = state
         # Invalidate jitted generation closures captured over the old state.
         self._gen_cache.clear()

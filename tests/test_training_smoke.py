@@ -151,3 +151,51 @@ def test_ctgan_smoke(blob_dataset, fast_settings):
     assert s.min() >= -1.0 and s.max() <= 1.0
     metrics = m.calculate_metrics(blob_dataset.tr_samples[:50], s)
     assert set(metrics) == {"mean_difference", "cov_difference", "mmd_approx"}
+
+
+def test_tmg_gan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import TMGGAN
+
+    m = TMGGAN()
+    m.fit(blob_dataset)
+    for k in ("d_loss", "g_loss"):
+        assert np.isfinite(m.loss_history[k]).all(), k
+    s = m.generate_samples(2, 8)
+    assert s.shape == (8, 30)
+    assert s.min() >= -1.0 and s.max() <= 1.0  # tanh output
+    q = m.generate_qualified_samples(1, 6)
+    assert q.shape == (6, 30)  # TMG always returns exactly num
+
+
+def test_qg_smote_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import QG_SMOTE
+
+    m = QG_SMOTE()
+    m.fit(blob_dataset)
+    for k in ("recon_loss", "quantile_loss", "adv_loss", "class_loss"):
+        assert np.isfinite(m.loss_history[k]).all(), k
+    sq = m.generate_samples(0, 8, method="quantile")
+    sp = m.generate_samples(0, 8, method="prior")
+    assert sq.shape == (8, 30) and sp.shape == (8, 30)
+    stats = m.analyze_quantiles(0, 20)
+    assert stats["mean"].shape == (128, 3)
+    assert (stats["min"] <= stats["max"]).all()
+
+
+def test_rain_gan_smoke(blob_dataset, fast_settings):
+    from cvaegan_tpu import RAIN_GAN
+
+    m = RAIN_GAN()
+    m.fit(blob_dataset)
+    for k in m.loss_keys:
+        assert np.isfinite(m.loss_history[k]).all(), k
+    s = m.generate_samples(0, 8)
+    assert s.shape == (8, 30)
+    r = m.reconstruct_samples(blob_dataset.tr_samples[:4],
+                              blob_dataset.tr_labels[:4])
+    assert r.shape == (4, 30)
+    att = m.visualize_attention(blob_dataset.tr_samples[:4],
+                                blob_dataset.tr_labels[:4])
+    assert att["encoder_attention"] is not None
+    # seq_len == 1 -> attention probs are exactly 1
+    assert np.allclose(att["encoder_attention"], 1.0)
