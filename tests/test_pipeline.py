@@ -1,0 +1,55 @@
+"""Pipeline-level tests: the class-rebalancing script template, pickle
+artifact, and CLI plumbing (reference scripts' behavior, SURVEY.md §2.3)."""
+
+import pickle
+
+import numpy as np
+
+
+def test_balance_pipeline_cvae_gan(blob_dataset, fast_settings, tmp_path):
+    from cvaegan_tpu import CVAEGAN
+    from cvaegan_tpu.pipelines.balance import run_balance_pipeline
+
+    result = run_balance_pipeline(
+        CVAEGAN, "CVAE_GAN", blob_dataset, out_dir=tmp_path,
+        generation_mode="qualified", plot=False,
+    )
+    assert set(result["multiclass_metrics"]) == {"Precision", "Recall", "F1"}
+    assert set(result["binary_metrics"]) == {"Precision", "Recall", "F1"}
+    assert result["pickle_path"].exists()
+    with open(result["pickle_path"], "rb") as f:
+        tr_x, tr_y, te_x, te_y = pickle.load(f)
+    assert tr_x.shape[1] == 30
+    assert len(tr_x) == len(tr_y)
+    assert len(te_x) == 100
+
+
+def test_balance_pipeline_vae_gan_unconditional(blob_dataset, fast_settings,
+                                                tmp_path):
+    from cvaegan_tpu import VAEGAN
+    from cvaegan_tpu.pipelines.balance import run_balance_pipeline
+
+    result = run_balance_pipeline(
+        VAEGAN, "VAE_GAN", blob_dataset, out_dir=tmp_path,
+        generation_mode="unconditional", plot=False,
+    )
+    aug = result["augmented"]
+    # VAE-GAN doubles the train set with random labels
+    assert len(aug.tr_samples) == 2 * len(blob_dataset.tr_samples)
+
+
+def test_load_dataset_fixtures():
+    from cvaegan_tpu.pipelines.balance import load_dataset
+
+    ds = load_dataset("blobs", seed=0)
+    assert ds.feature_num == 30
+    ds2 = load_dataset("imbalanced", seed=0)
+    assert ds2.label_num == 5
+
+
+def test_cli_parsing():
+    from cvaegan_tpu.pipelines.balance import make_cli
+
+    args = make_cli("x").parse_args(
+        ["--dataset", "blobs", "--epochs", "7", "--seed", "3", "--test-mode"])
+    assert args.epochs == 7 and args.seed == 3 and args.test_mode
