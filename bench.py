@@ -30,8 +30,12 @@ def main() -> None:
     from cvaegan_tpu.data.tabular import TabularDataset
     from cvaegan_tpu.algorithms.cvae_gan import CVAEGAN
 
-    warmup_epochs = 50   # one full chunk: compiles + burns in
-    bench_epochs = 200   # measured steady state
+    # The reference's own training budget is 500 epochs
+    # (`src/config/gan_config.py:1`); we time exactly that workload,
+    # end-to-end (dispatch + device sync included), after one warmup run
+    # of the same shape to exclude compilation.
+    warmup_epochs = 500
+    bench_epochs = 500
 
     ds = TabularDataset.synthetic_blobs(seed=0)
     label_num = ds.label_num

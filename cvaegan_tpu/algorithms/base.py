@@ -52,9 +52,13 @@ class GenerativeTrainer:
     name: str = "base"
     config_key: str = ""
     loss_keys: Tuple[str, ...] = ()
-    #: epochs per device dispatch; 50 matches the reference's progress
-    #: print cadence (`src/cvae_gan.py:225`).
-    epoch_chunk: int = 50
+    #: epochs per device dispatch. Each dispatch costs ~1s of host/tunnel
+    #: overhead (donated ~100-leaf state pytree), so the default runs the
+    #: WHOLE reference training budget in one XLA call; algorithms with
+    #: epoch-cadenced host diagnostics (TMG-GAN snapshots) use a smaller
+    #: chunk. Progress is still printed every 50 epochs (the reference's
+    #: cadence, `src/cvae_gan.py:225`) from the returned loss history.
+    epoch_chunk: int = 500
     #: set False to silence per-chunk progress prints (bench mode).
     verbose: bool = True
 
@@ -135,12 +139,13 @@ class GenerativeTrainer:
             losses = jax.device_get(losses)
             for k in self.loss_keys:
                 self.loss_history[k].extend(np.asarray(losses[k]).tolist())
-            if self.verbose:
-                head = ", ".join(
-                    f"{k}: {float(np.asarray(losses[k])[0]):.4f}"
-                    for k in self.loss_keys
-                )
-                print(f"{self.name} epoch {e}/{epochs}, {head}")
+            if self.verbose and self.loss_keys:
+                for i in range(0, n, 50):
+                    head = ", ".join(
+                        f"{k}: {float(np.asarray(losses[k])[i]):.4f}"
+                        for k in self.loss_keys
+                    )
+                    print(f"{self.name} epoch {e + i}/{epochs}, {head}")
             e += n
             if hasattr(self, "_on_chunk_end"):
                 # Expose the freshly-trained state to generation APIs used
