@@ -1,0 +1,98 @@
+"""Pallas TPU kernel: blockwise (flash-style) self-attention forward.
+
+The reference's only attention (RAIN-GAN) runs on singleton sequences
+(`src/models/rain_gan_models.py:139` unsqueeze(1)), where plain XLA is
+optimal. This kernel is the seq-length-scalable path SURVEY.md §5 calls
+for: online-softmax over KV blocks, O(seq) memory, and a structure that
+extends to ring/context parallelism over ICI (stream KV blocks from
+remote chips instead of local HBM).
+
+Layout: q/k/v are [batch*heads, seq, head_dim]; the grid is
+(batch*heads, q_blocks) and each program streams every KV block through
+VMEM, maintaining running (max, sum, acc) statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _attn_kernel(block_k: int, scale: float, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # [block_q, d]
+    seq_len, d = k_ref.shape[1], k_ref.shape[2]
+    num_kb = seq_len // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    block_q = q.shape[0]
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = acc / l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def block_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d)) v over [bh, seq, d] inputs."""
+    bh, seq, d = q.shape
+    scale = d ** -0.5
+    block_q = min(block_q, seq)
+    block_k = min(block_k, seq)
+    pad_q = (-seq) % block_q
+    pad_k = (-seq) % block_k
+    if pad_q or pad_k:
+        # Pad sequence; padded keys get masked via -inf scores by zeroing
+        # is unsafe — instead fall back to XLA for ragged shapes.
+        return reference_attention(q, k, v)
+    grid = (bh, seq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, block_k, scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, seq, d), jnp.float32),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
+def reference_attention(q, k, v):
+    """Plain XLA attention (numerical oracle + ragged-shape fallback)."""
+    d = q.shape[-1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * (d ** -0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v)

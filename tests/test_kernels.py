@@ -1,0 +1,110 @@
+"""Pallas kernel tests (interpret mode on CPU): numerical equivalence
+against XLA oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvaegan_tpu.kernels import block_attention, fused_mlp
+
+
+def _random_mlp(key, dims=(133, 256, 128, 64, 30)):
+    ks = jax.random.split(key, 8)
+    weights = [jax.random.normal(ks[i], (dims[i], dims[i + 1])) * 0.1
+               for i in range(4)]
+    biases = [jax.random.normal(ks[4 + i], (dims[i + 1],)) * 0.1
+              for i in range(4)]
+    return weights, biases
+
+
+def test_fused_mlp_matches_xla():
+    weights, biases = _random_mlp(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (100, 133))
+    ref = fused_mlp.xla_mlp4(x, weights, biases)
+    got = fused_mlp.fused_mlp4(x, weights, biases, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_mlp_final_activations():
+    weights, biases = _random_mlp(jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 133))
+    for final in ("sigmoid", "tanh", "none"):
+        ref = fused_mlp.xla_mlp4(x, weights, biases, final=final)
+        got = fused_mlp.fused_mlp4(x, weights, biases, final=final,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_mlp_batch_padding():
+    """Batch sizes that don't divide the tile must round-trip exactly."""
+    weights, biases = _random_mlp(jax.random.PRNGKey(4))
+    for n in (1, 7, 511, 513):
+        x = jax.random.normal(jax.random.PRNGKey(5), (n, 133))
+        ref = fused_mlp.xla_mlp4(x, weights, biases)
+        got = fused_mlp.fused_mlp4(x, weights, biases, interpret=True)
+        assert got.shape == (n, 30)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bn_folding_matches_flax_generator():
+    from cvaegan_tpu.core.state import adam, apply_eval, init_net
+    from cvaegan_tpu.models import mlp
+
+    gen = mlp.Generator(output_dim=10, num_classes=3)
+    st = init_net(gen, jax.random.PRNGKey(0), adam(1e-3),
+                  jnp.zeros((2, 16)), jnp.zeros((2,), jnp.int32))
+    # Perturb BN running stats away from init.
+    zs = jax.random.normal(jax.random.PRNGKey(1), (64, 16))
+    ys = jnp.zeros((64,), jnp.int32)
+    _, mut = gen.apply({"params": st.params, **st.mutables}, zs, ys,
+                       train=True, mutable=["batch_stats"])
+    st = st.replace(mutables=dict(mut))
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (32, 16))
+    y = jnp.asarray(np.arange(32) % 3, jnp.int32)
+    ref, _ = apply_eval(gen, st, z, y)
+    got = fused_mlp.fast_generator_forward(st, z, jax.nn.one_hot(y, 3),
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_generate_samples_fast_api(blob_dataset, fast_settings):
+    from cvaegan_tpu import CVAEGAN, RAIN_GAN
+
+    m = CVAEGAN()
+    m.fit(blob_dataset)
+    s = m.generate_samples_fast(0, 16)
+    assert s.shape == (16, 30)
+    assert np.isfinite(s).all()
+    assert s.min() >= 0.0 and s.max() <= 1.0
+
+    r = RAIN_GAN()
+    r.fit(blob_dataset)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        r.generate_samples_fast(0, 4)
+
+
+def test_block_attention_matches_reference():
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (8, 256, 64))
+               for kk in jax.random.split(key, 3))
+    ref = block_attention.reference_attention(q, k, v)
+    got = block_attention.block_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_attention_ragged_fallback():
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(kk, (2, 100, 32))
+               for kk in jax.random.split(key, 3))
+    ref = block_attention.reference_attention(q, k, v)
+    got = block_attention.block_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
