@@ -28,7 +28,17 @@ import numpy as np
 
 
 def load_csv(file_path) -> np.ndarray:
-    """Headerless CSV -> float32 array, non-numeric coerced, NaN -> 0."""
+    """Headerless CSV -> float32 array, non-numeric coerced, NaN -> 0.
+
+    Uses the native multithreaded C++ parser
+    (`cvaegan_tpu/native/csv_loader.cpp`) when the toolchain is
+    available; falls back to pandas with identical semantics."""
+    try:
+        from cvaegan_tpu.data.native_csv import load_csv_native
+
+        return load_csv_native(file_path)
+    except (RuntimeError, OSError):
+        pass
     import pandas as pd
 
     data = pd.read_csv(file_path, header=None, low_memory=False)

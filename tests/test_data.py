@@ -101,3 +101,24 @@ def test_random_batch():
     bx, by = sample_random_batch(key, x, y, 32)
     assert bx.shape == (32, 1) and by.shape == (32,)
     np.testing.assert_allclose(np.asarray(bx)[:, 0], np.asarray(by))
+
+
+def test_native_csv_matches_pandas(tmp_path):
+    """The C++ parser must agree cell-for-cell with the pandas loader on
+    garbage-laden input (including literal nan/inf and trailing junk)."""
+    import pytest
+
+    from cvaegan_tpu.data import native_csv
+
+    if not native_csv.available():
+        pytest.skip("no native toolchain")
+    p = tmp_path / "x.csv"
+    p.write_text("1.5,abc,3\n,2,x\n-4.25e2,nan,7\n1e,inf,12abc\n0.5, 2 ,\r\n")
+    import pandas as pd
+
+    a = native_csv.load_csv_native(p)
+    df = pd.read_csv(p, header=None, low_memory=False)
+    for col in df.columns:
+        df[col] = pd.to_numeric(df[col], errors="coerce")
+    b = np.asarray(df.fillna(0).values, np.float32)
+    np.testing.assert_array_equal(a, b)
