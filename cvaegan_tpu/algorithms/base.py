@@ -265,6 +265,23 @@ class GenerativeTrainer:
             return np.zeros((0, self.feature_num), np.float32)
         return np.concatenate(collected, axis=0)
 
+    def get_feature_importance(self, net: str = "discriminator"):
+        """Per-input-feature mean |W| of a network's first dense layer
+        (reference `get_feature_importance`,
+        `src/models/cvae_gan_models.py:231-247,285-292`). For conditional
+        networks returns (data_importance, condition_importance); for the
+        classifier a single vector."""
+        from cvaegan_tpu.utils import introspection
+
+        assert self.state is not None, "call fit() first"
+        if net not in self.state:
+            raise KeyError(f"{self.name} has no network {net!r}; "
+                           f"available: {sorted(self.state)}")
+        params = self.state[net].params
+        if net == "classifier":
+            return introspection.first_layer_importance(params)
+        return introspection.split_importance(params, self.feature_num)
+
     def reconstruct_samples(self, samples, labels) -> np.ndarray:
         """Encode-then-decode round trip (reference
         `src/cvae_gan.py:380-397`). Only meaningful for VAE-family models;

@@ -154,6 +154,14 @@ class Classifier:
             return logits
         return np.argmax(logits, axis=1)
 
+    def get_feature_importance(self):
+        """Mean |W| of the first dense layer per input feature (reference
+        `src/models/cvae_gan_models.py:285-292`)."""
+        from cvaegan_tpu.utils.introspection import first_layer_importance
+
+        assert self.params is not None, "call fit() first"
+        return first_layer_importance(self.params)
+
     # --------------------------------------------------------------- test
     def _compute_metrics(self, real, pred, labels=None):
         from sklearn import metrics as skm

@@ -199,3 +199,22 @@ def test_rain_gan_smoke(blob_dataset, fast_settings):
     assert att["encoder_attention"] is not None
     # seq_len == 1 -> attention probs are exactly 1
     assert np.allclose(att["encoder_attention"], 1.0)
+
+
+def test_feature_importance(blob_dataset, fast_settings):
+    from cvaegan_tpu import CVAEGAN, Classifier
+
+    m = CVAEGAN()
+    m.fit(blob_dataset)
+    data_imp, cond_imp = m.get_feature_importance("discriminator")
+    assert data_imp.shape == (30,) and cond_imp.shape == (5,)
+    assert (data_imp >= 0).all()
+    clf_imp = m.get_feature_importance("classifier")
+    assert clf_imp.shape == (30,)
+
+    clf = Classifier("imp")
+    clf.fit(blob_dataset)
+    assert clf.get_feature_importance().shape == (30,)
+
+    with pytest.raises(KeyError):
+        m.get_feature_importance("nope")
