@@ -18,7 +18,7 @@ update loops — scanned over epochs in `fit` (see base class).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ reference's dead `column_embedding` parameters).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ classifier reuse the shared MLP family (identical architectures,
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ LeakyReLU(0.2), no dropout (`:91-116`). Classifier: SN-Linears with ReLU
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import json
 import pathlib
-from typing import Optional
-
 import jax
-import numpy as np
 
 
 def save_checkpoint(trainer, path) -> pathlib.Path:

@@ -218,3 +218,15 @@ def test_feature_importance(blob_dataset, fast_settings):
 
     with pytest.raises(KeyError):
         m.get_feature_importance("nope")
+
+
+def test_deterministic_fit(blob_dataset, fast_settings):
+    """Same seed -> bit-identical loss history (RNG is fully explicit)."""
+    from cvaegan_tpu import CVAEGAN
+
+    a = CVAEGAN(seed=11)
+    a.fit(blob_dataset)
+    b = CVAEGAN(seed=11)
+    b.fit(blob_dataset)
+    for k in a.loss_keys:
+        np.testing.assert_array_equal(a.loss_history[k], b.loss_history[k])
