@@ -67,11 +67,11 @@ class ResidualAttentionBlock(nn.Module):
             layer = DenseCls(f)
             return layer(v, update_stats=train) if self.spectral else layer(v)
 
-        x_norm = nn.LayerNorm()(x)
+        x_norm = nn.LayerNorm(epsilon=1e-5)(x)
         attn_out, probs = MultiHeadSelfAttention(input_dim, self.num_heads)(x_norm)
         x = x + attn_out
 
-        x_norm = nn.LayerNorm()(x)
+        x_norm = nn.LayerNorm(epsilon=1e-5)(x)
         ff = dense(x_norm, self.output_dim)
         ff = nn.leaky_relu(ff, negative_slope=0.2)
         ff = dense(ff, self.output_dim)
@@ -92,7 +92,7 @@ class RAINEncoder(nn.Module):
         x = jnp.concatenate([x, one_hot(labels, self.num_classes)], axis=-1)
         x = x[:, None, :]  # singleton sequence
         x = Dense(256)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
         x, probs = ResidualAttentionBlock(256)(x, train=train)
         x = nn.leaky_relu(x, negative_slope=0.2)
@@ -118,7 +118,7 @@ class RAINGenerator(nn.Module):
         x = jnp.concatenate([z, one_hot(labels, self.num_classes)], axis=-1)
         x = x[:, None, :]
         x = Dense(256)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
         x, probs = ResidualAttentionBlock(256)(x, train=train)
         x = nn.leaky_relu(x, negative_slope=0.2)
@@ -162,7 +162,7 @@ class RAINClassifier(nn.Module):
     def __call__(self, x, train: bool = True):
         x = x[:, None, :]
         x = Dense(256)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.relu(x)
         x, probs = ResidualAttentionBlock(256)(x, train=train)
         x = nn.relu(x)

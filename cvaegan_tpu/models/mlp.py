@@ -168,7 +168,7 @@ class Classifier(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(0.3, deterministic=not train)(h)
         h = dense(h2, h)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(epsilon=1e-5)(h)
         h = nn.relu(h)
         h = nn.Dropout(0.3, deterministic=not train)(h)
         h = dense(h3, h)
