@@ -229,41 +229,58 @@ class GenerativeTrainer:
         if confidence_threshold is None:
             confidence_threshold = self.hparams.get("confidence_threshold", 0.5)
 
-        fn = self._gen_cache.get("qualified")
+        # Fully on-device rejection sampling: ONE dispatch runs the whole
+        # generate->classify->filter->top-up loop as a lax.while_loop,
+        # preserving the reference's observable semantics (threshold,
+        # correct-class check, patience=20 consecutive empty candidate
+        # batches, `src/cvae_gan.py:347-378`).
+        cand = int(max(256, min(4096, 2 * num)))
+        fn = self._gen_cache.get(("qualified", cand, num))
         if fn is None:
-            def _qualified(state, key, labels, threshold):
-                kz, kg = jax.random.split(key)
-                z = jax.random.normal(kz, (labels.shape[0], self.gan_cfg.z_size))
-                x = self._generator_forward(state, z, labels, kg)
-                logits = self._classifier_logits(state, x)
-                probs = jax.nn.softmax(logits, axis=-1)
-                max_prob = jnp.max(probs, axis=-1)
-                pred = jnp.argmax(probs, axis=-1)
-                valid = (max_prob > threshold) & (pred == labels)
-                return x, valid
+            z_size = self.gan_cfg.z_size
+            feature_num = self.feature_num
+
+            def _qualified(state, key, target, threshold):
+                labels = jnp.full((cand,), target, jnp.int32)
+
+                def cond(carry):
+                    key, buf, count, patience = carry
+                    return (count < num) & (patience > 0)
+
+                def body(carry):
+                    key, buf, count, patience = carry
+                    key, kz, kg = jax.random.split(key, 3)
+                    z = jax.random.normal(kz, (cand, z_size))
+                    x = self._generator_forward(state, z, labels, kg)
+                    logits = self._classifier_logits(state, x)
+                    probs = jax.nn.softmax(logits, axis=-1)
+                    valid = (jnp.max(probs, -1) > threshold) & (
+                        jnp.argmax(probs, -1) == labels)
+                    # Scatter the valid rows into the next free buffer slots.
+                    slot = count + jnp.cumsum(valid) - 1
+                    ok = valid & (slot < num)
+                    slot = jnp.where(ok, slot, num)  # row `num` is a sink
+                    buf = buf.at[slot].set(
+                        jnp.where(ok[:, None], x, buf[slot]))
+                    n_new = jnp.sum(ok)
+                    patience = jnp.where(jnp.sum(valid) == 0, patience - 1,
+                                         jnp.int32(20))
+                    return key, buf, count + n_new, patience
+
+                buf0 = jnp.zeros((num + 1, feature_num), jnp.float32)
+                _, buf, count, _ = jax.lax.while_loop(
+                    cond, body,
+                    (key, buf0, jnp.int32(0), jnp.int32(20)))
+                return buf[:num], count
 
             fn = jax.jit(_qualified)
-            self._gen_cache["qualified"] = fn
+            self._gen_cache[("qualified", cand, num)] = fn
 
-        # Batched rejection sampling: oversample on device, filter on host.
-        cand = max(256, min(4096, 2 * num))
-        labels = jnp.full((cand,), target_label, jnp.int32)
-        collected: list = []
-        total = 0
-        patience = 20
-        while total < num and patience > 0:
-            x, valid = fn(self.state, self._next_key(), labels,
-                          jnp.float32(confidence_threshold))
-            x = np.asarray(x)[np.asarray(valid)]
-            if len(x) == 0:
-                patience -= 1
-                continue
-            take = x[: num - total]
-            collected.append(take)
-            total += len(take)
-        if not collected:
-            return np.zeros((0, self.feature_num), np.float32)
-        return np.concatenate(collected, axis=0)
+        buf, count = fn(self.state, self._next_key(),
+                        jnp.int32(target_label),
+                        jnp.float32(confidence_threshold))
+        count = int(count)
+        return np.asarray(buf)[:count]
 
     def get_feature_importance(self, net: str = "discriminator"):
         """Per-input-feature mean |W| of a network's first dense layer
