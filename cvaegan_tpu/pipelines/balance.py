@@ -42,6 +42,15 @@ def load_dataset(name: str, seed: int = 0) -> TabularDataset:
     p = Path(name)
     if not p.exists():
         p = config_lib.settings.paths.datasets / name
+    if not (p / "x_train.csv").exists():
+        # The reference degrades to empty tensors with a hint about a prep
+        # script it never shipped (`src/datasets/__init__.py:36-44`); we
+        # fail fast and point at the tool that exists.
+        raise FileNotFoundError(
+            f"dataset {name!r}: {p}/x_train.csv not found. Prepare it with "
+            "`python scripts/prepare_can_dataset.py --classes "
+            "normal=<raw.csv> ...` (or use --dataset blobs / imbalanced)"
+        )
     return TabularDataset.from_csv_dir(p)
 
 

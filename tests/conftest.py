@@ -43,8 +43,12 @@ def fast_settings():
 
     old_gan = config_lib.settings.gan.epochs
     old_clf = config_lib.settings.classifier.epochs
+    old_paths = config_lib.settings.paths
+    old_batch = config_lib.settings.gan.batch_size
     config_lib.settings.gan.epochs = 2
     config_lib.settings.classifier.epochs = 2
     yield config_lib.settings
     config_lib.settings.gan.epochs = old_gan
     config_lib.settings.classifier.epochs = old_clf
+    config_lib.settings.gan.batch_size = old_batch
+    config_lib.settings.paths = old_paths

@@ -1,0 +1,65 @@
+"""Reporting-surface tests: loss plots, ROC jpgs, metric printing,
+logger switches — the reference's observability outputs (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+
+def test_plot_loss_history_writes_files(blob_dataset, fast_settings, tmp_path):
+    from cvaegan_tpu import VAE
+    from cvaegan_tpu.core.config import Paths
+
+    fast_settings.paths = Paths(root=tmp_path)
+    m = VAE()
+    m.fit(blob_dataset)
+    m.plot_loss_history()
+    outs = list((tmp_path / "gan_outs").glob("vae_*.jpg"))
+    assert len(outs) == 2  # per-loss grid + combined
+
+
+def test_roc_curves_written(blob_dataset, fast_settings, tmp_path):
+    from cvaegan_tpu import Classifier
+    from cvaegan_tpu.core.config import Paths
+
+    fast_settings.paths = Paths(root=tmp_path)
+    clf = Classifier("roc")
+    clf.fit(blob_dataset)
+    out = clf.plot_roc_curve(blob_dataset, is_binary=False)
+    assert out.exists()
+    out2 = clf.plot_roc_curve(blob_dataset, is_binary=True)
+    assert out2.exists() and out != out2
+
+
+def test_print_metrics_runs(blob_dataset, fast_settings, capsys):
+    from cvaegan_tpu import Classifier
+
+    clf = Classifier("pm")
+    clf.fit(blob_dataset)
+    clf.test(blob_dataset)
+    clf.print_metrics(3)
+    out = capsys.readouterr().out
+    assert "Overall metrics" in out and "macro avg" in out
+
+
+def test_logger_switches(tmp_path, fast_settings):
+    from cvaegan_tpu.core.config import Paths
+    from cvaegan_tpu.utils.logger import Logger
+
+    import cvaegan_tpu.core.config as config_lib
+
+    config_lib.settings.paths = Paths(root=tmp_path)
+    log = Logger("switchtest")
+    log.info("hello")
+    log.turn_off()
+    log.info("silenced")
+    log.turn_on()
+    log.info("back")
+    text = (tmp_path / "logs" / "switchtest.log").read_text()
+    assert "hello" in text and "back" in text and "silenced" not in text
+
+
+def test_missing_dataset_error_is_helpful():
+    from cvaegan_tpu.pipelines.balance import load_dataset
+
+    with pytest.raises(FileNotFoundError, match="prepare_can_dataset"):
+        load_dataset("NOPE_DOES_NOT_EXIST")
