@@ -61,6 +61,13 @@ class GenerativeTrainer:
     epoch_chunk: int = 500
     #: set False to silence per-chunk progress prints (bench mode).
     verbose: bool = True
+    #: set to a directory path to auto-save an Orbax checkpoint after every
+    #: epoch chunk (restartable training; the reference has no
+    #: checkpointing at all, SURVEY.md §5).
+    checkpoint_dir = None
+    #: False for the unconditional family whose generate_samples(num)
+    #: takes no label (VAE/GAN/VAE-GAN, reference `src/vae.py` etc.).
+    conditional_sampling: bool = True
 
     def __init__(self, seed: Optional[int] = None,
                  settings: Optional[config_lib.Settings] = None):
@@ -147,6 +154,11 @@ class GenerativeTrainer:
                     )
                     print(f"{self.name} epoch {e + i}/{epochs}, {head}")
             e += n
+            if self.checkpoint_dir is not None:
+                from cvaegan_tpu.utils.checkpoint import save_checkpoint
+
+                self.state = state
+                save_checkpoint(self, self.checkpoint_dir)
             if hasattr(self, "_on_chunk_end"):
                 # Expose the freshly-trained state to generation APIs used
                 # inside the hook (e.g. TMG-GAN scatter snapshots).

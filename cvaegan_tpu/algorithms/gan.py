@@ -28,6 +28,7 @@ from cvaegan_tpu.parallel.mesh import shard_leading
 class GAN(GenerativeTrainer):
     name = "gan"
     config_key = "gan"
+    conditional_sampling = False
     loss_keys = ("adv_loss",)
 
     def _build(self, key: jax.Array) -> Dict[str, NetState]:

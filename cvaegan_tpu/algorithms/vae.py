@@ -32,6 +32,7 @@ from cvaegan_tpu.models import mlp
 class VAE(GenerativeTrainer):
     name = "vae"
     config_key = "vae"
+    conditional_sampling = False
     loss_keys = ("recon_loss", "kl_loss")
 
     def _build(self, key: jax.Array) -> Dict[str, NetState]:

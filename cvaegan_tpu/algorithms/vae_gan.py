@@ -28,6 +28,7 @@ from cvaegan_tpu.parallel.mesh import shard_leading
 class VAEGAN(GenerativeTrainer):
     name = "vae_gan"
     config_key = "vae_gan"
+    conditional_sampling = False
     loss_keys = ("recon_loss", "kl_loss", "adv_loss")
 
     def _build(self, key: jax.Array) -> Dict[str, NetState]:

@@ -55,6 +55,9 @@ class Classifier:
 
         self.module: Optional[mlp.Classifier] = None
         self.params: Any = None
+        #: mutable variable collections of adopted companion classifiers
+        #: (spectral u/v for SNGAN, batch_stats for CTGAN).
+        self.mutables: Dict[str, Any] = {}
         self.label_num: int = 0
         self.confusion_matrix: Optional[np.ndarray] = None
         self.metrics: Dict[str, float] = {"Precision": 0.0, "Recall": 0.0, "F1": 0.0}
@@ -73,12 +76,15 @@ class Classifier:
                 jnp.zeros((2, feature_num)), train=False,
             )
             self.params = variables["params"]
+            self.mutables = {k: v for k, v in variables.items()
+                             if k != "params"}
 
     def warm_start_from(self, trainer) -> None:
         """Adopt a trainer's companion classifier (reference warm-start
         `clf.model = gan.classifier`, `scripts/train_cvae_gan.py:144-145`)."""
         self.module = trainer.modules["classifier"]
         self.params = trainer.state["classifier"].params
+        self.mutables = dict(trainer.state["classifier"].mutables)
         self.label_num = trainer.label_num
 
     # -------------------------------------------------------------- train
@@ -97,10 +103,11 @@ class Classifier:
         tx = optax.adam(self.cfg.lr)
         module = self.module
 
-        @functools.partial(jax.jit, static_argnames=("epochs",), donate_argnums=(0, 1))
-        def train(params, opt_state, key, epochs):
+        @functools.partial(jax.jit, static_argnames=("epochs",),
+                           donate_argnums=(0, 1, 2))
+        def train(params, mutables, opt_state, key, epochs):
             def epoch(carry, ekey):
-                params, opt_state = carry
+                params, mutables, opt_state = carry
                 kperm, kdrop = jax.random.split(ekey)
                 perm = jax.random.permutation(kperm, n)
                 perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
@@ -109,44 +116,66 @@ class Classifier:
                 wb = base_w.reshape(nb, bs)
 
                 def batch_step(carry, inp):
-                    params, opt_state, i = carry
+                    params, mutables, opt_state, i = carry
                     bx, by, bw = inp
 
                     def loss_fn(p):
-                        logits = module.apply(
-                            {"params": p}, bx, train=True,
-                            rngs={"dropout": jax.random.fold_in(kdrop, i)},
-                        )
-                        return losses.weighted_cross_entropy(logits, by, bw)
+                        # Companion classifiers adopted from SNGAN/CTGAN
+                        # carry spectral/batch_stats collections; plain
+                        # classifiers have none.
+                        if mutables:
+                            out, new_mut = module.apply(
+                                {"params": p, **mutables}, bx, train=True,
+                                rngs={"dropout": jax.random.fold_in(kdrop, i)},
+                                mutable=list(mutables.keys()),
+                            )
+                            new_mut = dict(new_mut)
+                        else:
+                            out = module.apply(
+                                {"params": p}, bx, train=True,
+                                rngs={"dropout": jax.random.fold_in(kdrop, i)},
+                            )
+                            new_mut = mutables
+                        # attention classifiers return (logits, attn_probs)
+                        logits = out[0] if isinstance(out, tuple) else out
+                        loss = losses.weighted_cross_entropy(logits, by, bw)
+                        return loss, new_mut
 
-                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    (loss, new_mut), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
                     updates, opt_state = tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-                    return (params, opt_state, i + 1), loss
+                    return (params, new_mut, opt_state, i + 1), loss
 
-                (params, opt_state, _), losses_ = jax.lax.scan(
-                    batch_step, (params, opt_state, 0), (xb, yb, wb)
+                (params, mutables, opt_state, _), losses_ = jax.lax.scan(
+                    batch_step, (params, mutables, opt_state, 0), (xb, yb, wb)
                 )
-                return (params, opt_state), losses_[-1]
+                return (params, mutables, opt_state), losses_[-1]
 
-            (params, opt_state), _ = jax.lax.scan(
-                epoch, (params, opt_state), jax.random.split(key, epochs)
+            (params, mutables, opt_state), _ = jax.lax.scan(
+                epoch, (params, mutables, opt_state), jax.random.split(key, epochs)
             )
-            return params, opt_state
+            return params, mutables, opt_state
 
         opt_state = tx.init(self.params)
-        self.params, _ = train(self.params, opt_state, self._next_key(),
-                               epochs=self.cfg.epochs)
+        self.params, self.mutables, _ = train(
+            self.params, self.mutables, opt_state, self._next_key(),
+            epochs=self.cfg.epochs)
+        self._logits_fn = None
         self.logger.info("Finished training")
 
     # ------------------------------------------------------------ predict
     def _logits(self, x: np.ndarray) -> np.ndarray:
         fn = getattr(self, "_logits_fn", None)
         if fn is None:
-            fn = jax.jit(lambda p, v: self.module.apply({"params": p}, v,
-                                                         train=False))
+            def _eval(p, m, v):
+                out = self.module.apply({"params": p, **m}, v, train=False)
+                return out[0] if isinstance(out, tuple) else out
+
+            fn = jax.jit(_eval)
             self._logits_fn = fn
-        return np.asarray(fn(self.params, jnp.asarray(x, jnp.float32)))
+        return np.asarray(fn(self.params, self.mutables,
+                             jnp.asarray(x, jnp.float32)))
 
     def predict(self, x, use_prob: bool = False) -> np.ndarray:
         logits = self._logits(np.asarray(x, np.float32))

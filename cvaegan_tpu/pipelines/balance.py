@@ -150,7 +150,10 @@ def run_balance_pipeline(
     gen_stats = {}
     if generation_mode != "unconditional":
         for c in range(label_num):
-            g = model.generate_samples(c, 5)
+            if getattr(model, "conditional_sampling", True):
+                g = model.generate_samples(c, 5)
+            else:
+                g = model.generate_samples(5)
             if len(g):
                 gen_stats[c] = (float(np.mean(g)), float(np.std(g)))
                 print(f"class {c} generated stats - mean: {gen_stats[c][0]:.6f}, "

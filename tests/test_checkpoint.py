@@ -69,3 +69,20 @@ def test_nan_debug_raises():
     with nan_debug():
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+def test_auto_checkpoint_during_fit(blob_dataset, fast_settings, tmp_path):
+    from cvaegan_tpu import VAE
+    from cvaegan_tpu.utils.checkpoint import restore_checkpoint
+
+    m = VAE()
+    m.epoch_chunk = 1  # checkpoint after every epoch chunk
+    m.checkpoint_dir = tmp_path / "auto"
+    m.fit(blob_dataset)
+    assert (tmp_path / "auto" / "meta.json").exists()
+
+    m2 = VAE()
+    restore_checkpoint(m2, tmp_path / "auto", blob_dataset)
+    assert len(m2.loss_history["recon_loss"]) == 2
+    s = m2.generate_samples(4)
+    assert s.shape == (4, 30)
