@@ -26,13 +26,26 @@ from cvaegan_tpu.models.layers import Dense, SpectralDense, one_hot
 
 class MultiHeadSelfAttention(nn.Module):
     """4-head self-attention returning (output, attn_probs)
-    (`src/models/rain_gan_models.py:55-89`)."""
+    (`src/models/rain_gan_models.py:55-89`).
+
+    For sequences of at least `kernel_min_seq` on TPU, the contraction
+    dispatches to the blockwise Pallas flash-attention kernel
+    (`cvaegan_tpu.kernels.block_attention`) — O(seq) memory, no
+    materialised probability matrix. The probs returned in that regime
+    are a zero-entropy placeholder of ones (the entropy regulariser's
+    exact value at the reference's seq_len=1 operating point); callers
+    needing dense maps (visualize_attention) run at short seq lengths
+    where the XLA path is taken.
+    """
 
     embed_dim: int
     num_heads: int = 4
+    kernel_min_seq: int = 128
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        import jax
+
         b, s, _ = x.shape
         h, hd = self.num_heads, self.embed_dim // self.num_heads
 
@@ -42,9 +55,24 @@ class MultiHeadSelfAttention(nn.Module):
         q = split_heads(Dense(self.embed_dim)(x))
         k = split_heads(Dense(self.embed_dim)(x))
         v = split_heads(Dense(self.embed_dim)(x))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
-        probs = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+        use_kernel = (
+            s >= self.kernel_min_seq
+            and s % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            from cvaegan_tpu.kernels.block_attention import block_attention
+
+            out = block_attention(
+                q.reshape(b * h, s, hd), k.reshape(b * h, s, hd),
+                v.reshape(b * h, s, hd),
+            ).reshape(b, h, s, hd)
+            probs = jnp.ones((b, h, s, 1), x.dtype)  # placeholder (see doc)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
+            probs = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
         out = Dense(self.embed_dim)(out)
         return out, probs
