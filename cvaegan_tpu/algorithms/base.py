@@ -8,9 +8,9 @@ Reference API parity (`src/cvae_gan.py:59,339,347,380,263`):
 TPU-native execution model (NOT the reference's python-loop design):
   * `fit` compiles the entire per-class alternating-update epoch into one
     XLA program (`lax.scan` over classes, `lax.scan` over inner D/C/G
-    loops) and scans it over epochs in chunks — the reference dispatches
-    ~65 tiny optimizer steps per epoch from python
-    (`src/cvae_gan.py:100-216`); we dispatch once per 50 epochs.
+    loops) and scans it over epochs — the reference dispatches ~65 tiny
+    optimizer steps per epoch from python (`src/cvae_gan.py:100-216`);
+    we dispatch once per training run (per `epoch_chunk` epochs).
   * Class-conditional batches come from an on-device padded index table
     (see `cvaegan_tpu.data.sampler`).
   * `generate_qualified_samples` does batched on-device rejection
@@ -118,24 +118,35 @@ class GenerativeTrainer:
             self.state = self._build(self._next_key())
 
     # ------------------------------------------------------------------ fit
+    def _chunk_runner(self):
+        """Jitted multi-epoch runner, cached on the trainer so repeated
+        fit() calls reuse the trace/executable."""
+        fn = getattr(self, "_run_chunk_fn", None)
+        if fn is None:
+            @functools.partial(jax.jit, static_argnames=("n_epochs",),
+                               donate_argnums=(0,))
+            def run_chunk(state, key, epoch0, data, n_epochs):
+                def body(carry, i):
+                    state, key = carry
+                    key, sub = jax.random.split(key)
+                    state, losses = self._epoch_body(state, data,
+                                                     epoch0 + i, sub)
+                    return (state, key), losses
+
+                (state, key), losses = jax.lax.scan(
+                    body, (state, key), jnp.arange(n_epochs)
+                )
+                return state, losses
+
+            fn = run_chunk
+            self._run_chunk_fn = fn
+        return fn
+
     def fit(self, dataset) -> None:
         self._prepare(dataset)
         epochs = self.gan_cfg.epochs
         chunk = max(1, min(self.epoch_chunk, epochs))
-
-        @functools.partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0,))
-        def run_chunk(state, key, epoch0, data, n_epochs):
-            def body(carry, i):
-                state, key = carry
-                key, sub = jax.random.split(key)
-                state, losses = self._epoch_body(state, data, epoch0 + i, sub)
-                return (state, key), losses
-
-            (state, key), losses = jax.lax.scan(
-                body, (state, key), jnp.arange(n_epochs)
-            )
-            return state, losses
-
+        run_chunk = self._chunk_runner()
         state = self.state
         key = self._next_key()
         e = 0
