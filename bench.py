@@ -65,4 +65,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # axon tunnel occasionally drops; retry once
+        import sys
+        import time as _time
+
+        print(f"bench attempt failed ({type(e).__name__}); retrying in 120s",
+              file=sys.stderr)
+        _time.sleep(120)
+        main()
