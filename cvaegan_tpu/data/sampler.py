@@ -65,6 +65,30 @@ def sample_class_batch(
     return shard_leading(samples[rows])
 
 
+def sample_balanced_batch(
+    key: jax.Array,
+    index: ClassIndex,
+    samples: jnp.ndarray,
+    batch_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-balanced mixed batch: labels drawn uniformly over classes,
+    rows drawn uniformly within each label's pool.
+
+    This powers the beyond-parity `balanced_mode` training scheme (one
+    mixed-class update round per epoch instead of the reference's
+    per-class round-robin): every step sees all classes equally,
+    and the epoch cost is independent of label_num.
+    """
+    from cvaegan_tpu.parallel.mesh import shard_leading
+
+    k_lab, k_row = jax.random.split(key)
+    labels = jax.random.randint(k_lab, (batch_size,), 0, index.label_num)
+    counts = jnp.maximum(index.counts[labels], 1)
+    r = jax.random.randint(k_row, (batch_size,), 0, jnp.iinfo(jnp.int32).max)
+    rows = index.table[labels, r % counts]
+    return shard_leading(samples[rows]), shard_leading(labels)
+
+
 def sample_random_batch(
     key: jax.Array, samples: jnp.ndarray, labels: jnp.ndarray, batch_size: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -230,3 +230,17 @@ def test_deterministic_fit(blob_dataset, fast_settings):
     b.fit(blob_dataset)
     for k in a.loss_keys:
         np.testing.assert_array_equal(a.loss_history[k], b.loss_history[k])
+
+
+def test_cvae_gan_balanced_mode(blob_dataset, fast_settings):
+    """Beyond-parity balanced-batch mode: one mixed-class round per epoch,
+    same losses, same API."""
+    from cvaegan_tpu import CVAEGAN
+
+    m = CVAEGAN(balanced_mode=True)
+    m.fit(blob_dataset)
+    for k in m.loss_keys:
+        assert len(m.loss_history[k]) == 2
+        assert np.isfinite(m.loss_history[k]).all()
+    s = m.generate_samples(0, 8)
+    assert s.shape == (8, 30)
