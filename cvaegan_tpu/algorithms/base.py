@@ -70,9 +70,17 @@ class GenerativeTrainer:
     conditional_sampling: bool = True
 
     def __init__(self, seed: Optional[int] = None,
-                 settings: Optional[config_lib.Settings] = None):
+                 settings: Optional[config_lib.Settings] = None,
+                 balanced_mode: bool = False):
         self.settings = settings or config_lib.settings
         self.gan_cfg = self.settings.gan
+        #: beyond-parity fast mode for the conditional family: ONE
+        #: class-balanced mixed D/C/G round per epoch instead of the
+        #: reference's per-class round-robin — same losses, epoch cost
+        #: independent of label_num, and (measured) far higher
+        #: qualified-sample yield. Ignored by the unconditional family
+        #: and TMG-GAN (whose per-class generator bank is intrinsic).
+        self.balanced_mode = balanced_mode
         self.hparams = dict(config_lib.MODEL_CONFIGS.get(self.config_key, {}))
         seed = self.settings.seed if seed is None else seed
         self._root_key = jax.random.PRNGKey(seed)
@@ -93,6 +101,41 @@ class GenerativeTrainer:
         return jax.random.fold_in(self._root_key, self._key_counter)
 
     # ------------------------------------------------------- subclass hooks
+    def _sample_batch(self, key: jax.Array, data: Dict[str, Any], class_id):
+        """(x_real, labels) for one conditional update: rows of the target
+        class in strict parity mode, a class-balanced mixed batch in
+        balanced_mode."""
+        from cvaegan_tpu.data.sampler import (
+            sample_balanced_batch, sample_class_batch,
+        )
+        from cvaegan_tpu.parallel.mesh import shard_leading
+
+        cfg = self.gan_cfg
+        if self.balanced_mode:
+            return sample_balanced_batch(key, data["index"],
+                                         data["samples"], cfg.batch_size)
+        x = sample_class_batch(key, data["index"], data["samples"],
+                               class_id, cfg.batch_size)
+        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        return x, y
+
+    def _sample_labels(self, key: jax.Array, class_id):
+        """Label vector for updates that need no real batch (pure
+        generator steps): the target class in strict mode, uniform mixed
+        labels in balanced_mode."""
+        from cvaegan_tpu.parallel.mesh import shard_leading
+
+        cfg = self.gan_cfg
+        if self.balanced_mode:
+            return shard_leading(
+                jax.random.randint(key, (cfg.batch_size,), 0, self.label_num))
+        return shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+
+    def _class_rounds(self) -> int:
+        """Class-round scan length per epoch: 1 in balanced_mode, else
+        one round per class (the reference's round-robin)."""
+        return 1 if self.balanced_mode else self.label_num
+
     def _build(self, key: jax.Array) -> Dict[str, Any]:
         """Create modules/optimizers and return the initial state dict."""
         raise NotImplementedError

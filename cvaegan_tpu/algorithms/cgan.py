@@ -19,7 +19,6 @@ from cvaegan_tpu.core.schedules import progressive_lambda
 from cvaegan_tpu.core.state import (
     NetState, adam, apply_eval, grad_update, init_net,
 )
-from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import mlp
 from cvaegan_tpu.parallel.mesh import shard_leading
 
@@ -63,9 +62,7 @@ class CGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         gen, dis = self.modules["generator"], self.modules["discriminator"]
         k_x, k_z, k_d = jax.random.split(key, 3)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g = state["generator"]
         (x_fake, _), g_mut = gen.apply(
@@ -94,9 +91,7 @@ class CGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         gen, clf = self.modules["generator"], self.modules["classifier"]
         k_x, k_z, k_c = jax.random.split(key, 3)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g = state["generator"]
         (x_fake, _), g_mut = gen.apply(
@@ -124,8 +119,8 @@ class CGAN(GenerativeTrainer):
         hp = self.hparams
         gen, dis = self.modules["generator"], self.modules["discriminator"]
         clf = self.modules["classifier"]
-        k_z, k_d, k_c = jax.random.split(key, 3)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        k_y, k_z, k_d, k_c = jax.random.split(key, 4)
+        y = self._sample_labels(k_y, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g, d, c = state["generator"], state["discriminator"], state["classifier"]
 
@@ -173,7 +168,7 @@ class CGAN(GenerativeTrainer):
             return (state, key), jax.tree.map(lambda x: x[-1], g_losses)
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            class_body, (state, key), jnp.arange(self._class_rounds()))
         return state, jax.tree.map(lambda x: x[-1], per_class)
 
     def _generator_forward(self, state, z, labels, key):

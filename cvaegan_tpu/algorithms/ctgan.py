@@ -27,7 +27,6 @@ from cvaegan_tpu.core.schedules import progressive_lambda
 from cvaegan_tpu.core.state import (
     NetState, adam, grad_update, init_net,
 )
-from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import ctgan as ctgan_models
 from cvaegan_tpu.parallel.mesh import shard_leading
 
@@ -90,9 +89,7 @@ class CTGAN(GenerativeTrainer):
         hp = self.hparams
         dis = self.modules["discriminator"]
         k_x, k_z, k_m, k_d, k_a, k_gm, k_gd = jax.random.split(key, 7)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         state, x_fake = self._gen_fake(state, k_z, y, k_m)
         d = state["discriminator"]
 
@@ -136,9 +133,7 @@ class CTGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         clf = self.modules["classifier"]
         k_x, k_z, k_m, k_c = jax.random.split(key, 4)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         state, x_fake = self._gen_fake(state, k_z, y, k_m)
         c = state["classifier"]
 
@@ -161,8 +156,8 @@ class CTGAN(GenerativeTrainer):
         hp = self.hparams
         gen = self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
-        k_z, k_m, k_dm, k_d, k_c = jax.random.split(key, 5)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        k_y, k_z, k_m, k_dm, k_d, k_c = jax.random.split(key, 6)
+        y = self._sample_labels(k_y, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g_mask = ctgan_models.random_column_mask(
             k_m, cfg.batch_size, self.num_columns)
@@ -221,7 +216,7 @@ class CTGAN(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            class_body, (state, key), jnp.arange(self._class_rounds()))
         return state, jax.tree.map(lambda x: x[-1], per_class)
 
     # --------------------------------------------------------- generation

@@ -34,7 +34,6 @@ from cvaegan_tpu.core.state import (
     grad_update_pair,
     init_net,
 )
-from cvaegan_tpu.data.sampler import sample_balanced_batch, sample_class_batch
 from cvaegan_tpu.models import mlp
 from cvaegan_tpu.parallel.mesh import shard_leading
 
@@ -43,27 +42,6 @@ class CVAEGAN(GenerativeTrainer):
     name = "cvae_gan"
     config_key = "cvae_gan"
     loss_keys = ("recon_loss", "kl_loss", "adv_loss", "class_loss")
-    #: beyond-parity fast mode: ONE mixed class-balanced D/C/G round per
-    #: epoch (13 updates) instead of the reference's per-class round-robin
-    #: (13 x label_num updates). Every step sees all classes equally; the
-    #: epoch cost is independent of label_num. Losses are unchanged.
-    balanced_mode: bool = False
-
-    def __init__(self, seed=None, settings=None, balanced_mode=False):
-        super().__init__(seed=seed, settings=settings)
-        self.balanced_mode = balanced_mode
-
-    def _sample_batch(self, key, data, class_id):
-        """(x_real, labels) for one update: the target class in strict
-        parity mode, a class-balanced mixed batch in balanced_mode."""
-        cfg = self.gan_cfg
-        if self.balanced_mode:
-            return sample_balanced_batch(key, data["index"],
-                                         data["samples"], cfg.batch_size)
-        x = sample_class_batch(key, data["index"], data["samples"],
-                               class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
-        return x, y
 
     # ------------------------------------------------------------- build
     def _build(self, key: jax.Array) -> Dict[str, NetState]:
@@ -274,9 +252,8 @@ class CVAEGAN(GenerativeTrainer):
             last = jax.tree.map(lambda x: x[-1], g_losses)
             return (state, key), last
 
-        n_rounds = 1 if self.balanced_mode else self.label_num
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(n_rounds)
+            class_body, (state, key), jnp.arange(self._class_rounds())
         )
         # The reference records the losses of the last class's final G step
         # (`src/cvae_gan.py:218-222`).

@@ -33,7 +33,6 @@ from cvaegan_tpu.core.schedules import progressive_lambda
 from cvaegan_tpu.core.state import (
     NetState, adam, apply_eval, grad_update, grad_update_pair, init_net,
 )
-from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import mlp
 from cvaegan_tpu.models.quantile import (
     QuantileEncoder, QuantileRegressor, sample_from_quantiles,
@@ -113,9 +112,7 @@ class QG_SMOTE(GenerativeTrainer):
         cfg = self.gan_cfg
         dis = self.modules["discriminator"]
         k_x, k_q, k_d = jax.random.split(key, 3)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         state, x_fake = self._quantile_fake(state, x_real, y, k_q)
         d = state["discriminator"]
 
@@ -136,9 +133,7 @@ class QG_SMOTE(GenerativeTrainer):
         cfg = self.gan_cfg
         clf = self.modules["classifier"]
         k_x, k_q, k_c = jax.random.split(key, 3)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         state, x_fake = self._quantile_fake(state, x_real, y, k_q)
         c = state["classifier"]
 
@@ -158,9 +153,7 @@ class QG_SMOTE(GenerativeTrainer):
         cfg = self.gan_cfg
         reg = self.modules["regressor"]
         k_x, k_drop = jax.random.split(key)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         r = state["regressor"]
 
         def loss_fn(rp):
@@ -182,9 +175,7 @@ class QG_SMOTE(GenerativeTrainer):
         enc, gen = self.modules["encoder"], self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
         k_x, k_q, k_z, k_d, k_c = jax.random.split(key, 5)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z_prior = shard_leading(
             jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         e, g = state["encoder"], state["generator"]
@@ -249,7 +240,7 @@ class QG_SMOTE(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            class_body, (state, key), jnp.arange(self._class_rounds()))
         return state, jax.tree.map(lambda x: x[-1], per_class)
 
     # --------------------------------------------------------- generation

@@ -36,7 +36,6 @@ from cvaegan_tpu.core.schedules import progressive_lambda
 from cvaegan_tpu.core.state import (
     NetState, adam, grad_update, grad_update_pair, init_net,
 )
-from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import mlp
 from cvaegan_tpu.models.attention import (
     RAINClassifier, RAINDiscriminator, RAINEncoder, RAINGenerator,
@@ -99,9 +98,7 @@ class RAIN_GAN(GenerativeTrainer):
         lam_att = self.hparams["lambda_attention"]
         dis = self.modules["discriminator"]
         k_x, k_z = jax.random.split(key)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         state, x_fake = self._gen_fake(state, z, y)
         d = state["discriminator"]
@@ -126,9 +123,7 @@ class RAIN_GAN(GenerativeTrainer):
         lam_att = self.hparams["lambda_attention"]
         clf = self.modules["classifier"]
         k_x, k_z = jax.random.split(key)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         state, x_fake = self._gen_fake(state, z, y)
         c = state["classifier"]
@@ -150,9 +145,7 @@ class RAIN_GAN(GenerativeTrainer):
         enc, gen = self.modules["encoder"], self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
         k_x, k_eps, k_z = jax.random.split(key, 3)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z_prior = shard_leading(
             jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         e, g = state["encoder"], state["generator"]
@@ -218,7 +211,7 @@ class RAIN_GAN(GenerativeTrainer):
             return (state, key), jax.tree.map(lambda x: x[-1], g_losses)
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            class_body, (state, key), jnp.arange(self._class_rounds()))
         return state, jax.tree.map(lambda x: x[-1], per_class)
 
     def _on_chunk_end(self, epochs_done: int) -> None:

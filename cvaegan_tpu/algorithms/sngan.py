@@ -26,7 +26,6 @@ from cvaegan_tpu.core.schedules import progressive_lambda
 from cvaegan_tpu.core.state import (
     NetState, adam, apply_eval, grad_update, init_net,
 )
-from cvaegan_tpu.data.sampler import sample_class_batch
 from cvaegan_tpu.models import sngan as sngan_models
 from cvaegan_tpu.parallel.mesh import shard_leading
 
@@ -79,9 +78,7 @@ class SNGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         dis = self.modules["discriminator"]
         k_x, k_z = jax.random.split(key)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         state, x_fake = self._gen_fake(state, z, y)
         d = state["discriminator"]
@@ -103,9 +100,7 @@ class SNGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         clf = self.modules["classifier"]
         k_x, k_z = jax.random.split(key)
-        x_real = sample_class_batch(k_x, data["index"], data["samples"],
-                                    class_id, cfg.batch_size)
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        x_real, y = self._sample_batch(k_x, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         state, x_fake = self._gen_fake(state, z, y)
         c = state["classifier"]
@@ -128,8 +123,8 @@ class SNGAN(GenerativeTrainer):
         hp = self.hparams
         gen = self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
-        k_z = key
-        y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
+        k_y, k_z = jax.random.split(key)
+        y = self._sample_labels(k_y, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g, d, c = state["generator"], state["discriminator"], state["classifier"]
 
@@ -182,7 +177,7 @@ class SNGAN(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            class_body, (state, key), jnp.arange(self._class_rounds()))
         return state, jax.tree.map(lambda x: x[-1], per_class)
 
     def _generator_forward(self, state, z, labels, key):

@@ -244,3 +244,19 @@ def test_cvae_gan_balanced_mode(blob_dataset, fast_settings):
         assert np.isfinite(m.loss_history[k]).all()
     s = m.generate_samples(0, 8)
     assert s.shape == (8, 30)
+
+
+@pytest.mark.parametrize("cls_name", ["CVAE", "CGAN", "SNGAN", "CTGAN",
+                                      "QG_SMOTE", "RAIN_GAN"])
+def test_balanced_mode_zoo(blob_dataset, fast_settings, cls_name):
+    """balanced_mode must train and generate for every conditional
+    algorithm."""
+    import cvaegan_tpu
+
+    cls = getattr(cvaegan_tpu, cls_name)
+    m = cls(balanced_mode=True)
+    m.fit(blob_dataset)
+    for k in m.loss_keys:
+        assert np.isfinite(m.loss_history[k]).all(), k
+    s = m.generate_samples(0, 8)
+    assert s.shape == (8, 30)
