@@ -68,6 +68,13 @@ class TMGGAN(GenerativeTrainer):
     #: exactly those boundaries.
     epoch_chunk: int = 10
 
+    def __init__(self, seed=None, settings=None, balanced_mode=False):
+        if balanced_mode:
+            raise ValueError(
+                "TMG-GAN has one generator per class — its training is "
+                "intrinsically per-class, so balanced_mode does not apply")
+        super().__init__(seed=seed, settings=settings)
+
     def _build(self, key: jax.Array) -> Dict[str, NetState]:
         cfg = self.gan_cfg
         self.modules = {

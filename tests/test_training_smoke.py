@@ -260,3 +260,25 @@ def test_balanced_mode_zoo(blob_dataset, fast_settings, cls_name):
         assert np.isfinite(m.loss_history[k]).all(), k
     s = m.generate_samples(0, 8)
     assert s.shape == (8, 30)
+
+
+def test_tmg_rejects_balanced_mode():
+    from cvaegan_tpu import TMGGAN
+
+    with pytest.raises(ValueError, match="per-class"):
+        TMGGAN(balanced_mode=True)
+
+
+def test_cvae_gan_epoch0_loss_scale(blob_dataset, fast_settings):
+    """Golden loss-scale regression: epoch-0 losses on the seed-0 blob
+    fixture must stay in the band the torch reference exhibits
+    (recon ~0.07, kl ~0.5, |adv| small, class ~ln(5)). Catches silent
+    behavioral drift in init/losses/sampling."""
+    from cvaegan_tpu import CVAEGAN
+
+    m = CVAEGAN()
+    m.fit(blob_dataset)
+    assert 0.02 < m.loss_history["recon_loss"][0] < 0.2
+    assert 0.1 < m.loss_history["kl_loss"][0] < 2.0
+    assert abs(m.loss_history["adv_loss"][0]) < 1.0
+    assert 1.3 < m.loss_history["class_loss"][0] < 1.9  # ~ln(5)=1.609
