@@ -63,6 +63,8 @@ def run_balance_pipeline(
     settings: Optional[config_lib.Settings] = None,
     seed: Optional[int] = None,
     plot: bool = True,
+    confidence_threshold: Optional[float] = None,
+    balanced_mode: bool = False,
 ):
     """Run the full script pipeline; returns a result dict with the
     trained model, classifier, and metrics."""
@@ -76,7 +78,13 @@ def run_balance_pipeline(
     print(f"train set: {ds.tr_samples.shape}, classes: {label_num}, "
           f"counts: {ds.class_counts().tolist()}")
 
-    model = algorithm_cls(seed=seed, settings=settings)
+    try:
+        model = algorithm_cls(seed=seed, settings=settings,
+                              balanced_mode=balanced_mode)
+    except (TypeError, ValueError):
+        if balanced_mode:
+            raise
+        model = algorithm_cls(seed=seed, settings=settings)
     print(f"training {display_name} ...")
     model.fit(ds)
     if plot:
@@ -103,7 +111,8 @@ def run_balance_pipeline(
             if generation_mode == "tmg":
                 generated = model.generate_qualified_samples(c, need)
             else:
-                generated = model.generate_qualified_samples(c, need)
+                generated = model.generate_qualified_samples(
+                    c, need, confidence_threshold=confidence_threshold)
             if len(generated):
                 aug = aug.append(generated,
                                  np.full(len(generated), c, np.int32))
@@ -189,6 +198,12 @@ def make_cli(description: str):
     p.add_argument("--out-dir", default=".")
     p.add_argument("--test-mode", action="store_true",
                    help="1-epoch smoke mode (reference turn_on_test_mode)")
+    p.add_argument("--confidence-threshold", type=float, default=None,
+                   help="qualified-sample filter threshold (default: the "
+                        "model config's value, 0.5)")
+    p.add_argument("--balanced-mode", action="store_true",
+                   help="class-balanced mixed training rounds (beyond-"
+                        "parity fast mode, conditional models only)")
     return p
 
 

@@ -22,7 +22,10 @@ def main():
     dataset = apply_cli(args)
     run_balance_pipeline(
         QG_SMOTE, "QG_SMOTE", dataset,
-        out_dir=args.out_dir, generation_mode="qualified",
+        out_dir=args.out_dir,
+        confidence_threshold=args.confidence_threshold,
+        balanced_mode=args.balanced_mode,
+        generation_mode="qualified",
     )
 
 

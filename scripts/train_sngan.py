@@ -22,7 +22,10 @@ def main():
     dataset = apply_cli(args)
     run_balance_pipeline(
         SNGAN, "SNGAN", dataset,
-        out_dir=args.out_dir, generation_mode="qualified",
+        out_dir=args.out_dir,
+        confidence_threshold=args.confidence_threshold,
+        balanced_mode=args.balanced_mode,
+        generation_mode="qualified",
     )
 
 

@@ -22,7 +22,10 @@ def main():
     dataset = apply_cli(args)
     run_balance_pipeline(
         VAEGAN, "VAE_GAN", dataset,
-        out_dir=args.out_dir, generation_mode="unconditional",
+        out_dir=args.out_dir,
+        confidence_threshold=args.confidence_threshold,
+        balanced_mode=args.balanced_mode,
+        generation_mode="unconditional",
     )
 
 
