@@ -86,3 +86,15 @@ def test_auto_checkpoint_during_fit(blob_dataset, fast_settings, tmp_path):
     assert len(m2.loss_history["recon_loss"]) == 2
     s = m2.generate_samples(4)
     assert s.shape == (4, 30)
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from cvaegan_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "tr")):
+        jax.jit(lambda x: x * 2)(jnp.ones((128, 128))).block_until_ready()
+    files = list((tmp_path / "tr").rglob("*"))
+    assert files, "profiler trace produced no files"

@@ -86,3 +86,28 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 30)
     ge.dryrun_multichip(8)
+
+
+def test_global_mesh_and_distributed_helpers():
+    from cvaegan_tpu.parallel import distributed
+
+    assert not distributed.is_multi_host()
+    mesh = distributed.global_mesh(n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="does not divide"):
+        distributed.global_mesh(n_model=3)
+
+
+def test_balanced_batch_sampler_distribution():
+    from cvaegan_tpu.data.sampler import ClassIndex, sample_balanced_batch
+
+    labels = np.asarray([0] * 100 + [1] * 5 + [2] * 2)
+    samples = jnp.asarray(labels, jnp.float32)[:, None] * 1.0
+    idx = ClassIndex.build(labels, 3)
+    x, y = sample_balanced_batch(jax.random.PRNGKey(0), idx, samples, 3000)
+    y = np.asarray(y)
+    # labels are uniform over classes regardless of class frequency
+    frac = np.bincount(y, minlength=3) / 3000
+    assert (np.abs(frac - 1 / 3) < 0.05).all()
+    # each row actually belongs to its label's class
+    np.testing.assert_array_equal(np.asarray(x)[:, 0].astype(int), y)
