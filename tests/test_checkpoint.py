@@ -98,3 +98,19 @@ def test_profiler_trace_writes(tmp_path):
         jax.jit(lambda x: x * 2)(jnp.ones((128, 128))).block_until_ready()
     files = list((tmp_path / "tr").rglob("*"))
     assert files, "profiler trace produced no files"
+
+
+def test_tmg_checkpoint_roundtrip(blob_dataset, fast_settings, tmp_path):
+    """The stacked generator bank (vmapped params + per-slice opt state)
+    must checkpoint/restore bit-identically."""
+    from cvaegan_tpu import TMGGAN
+    from cvaegan_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    t = TMGGAN()
+    t.fit(blob_dataset)
+    save_checkpoint(t, tmp_path / "tmg")
+    t2 = TMGGAN()
+    restore_checkpoint(t2, tmp_path / "tmg", blob_dataset)
+    a = t.generate_samples(1, 4)
+    b = t2.generate_samples(1, 4)
+    np.testing.assert_array_equal(a, b)

@@ -282,3 +282,30 @@ def test_cvae_gan_epoch0_loss_scale(blob_dataset, fast_settings):
     assert 0.1 < m.loss_history["kl_loss"][0] < 2.0
     assert abs(m.loss_history["adv_loss"][0]) < 1.0
     assert 1.3 < m.loss_history["class_loss"][0] < 1.9  # ~ln(5)=1.609
+
+
+def test_single_class_dataset(fast_settings):
+    """Degenerate single-class data must train and generate (the per-class
+    scan has one round; one-hot width 1)."""
+    from cvaegan_tpu import CVAEGAN
+    from cvaegan_tpu.data.tabular import TabularDataset
+
+    x = np.random.default_rng(0).uniform(size=(50, 8)).astype(np.float32)
+    y = np.zeros(50, np.int32)
+    ds = TabularDataset(x, y, x[:5], y[:5])
+    m = CVAEGAN()
+    m.fit(ds)
+    assert m.generate_samples(0, 4).shape == (4, 8)
+
+
+def test_dataset_smaller_than_batch(fast_settings):
+    """n < batch_size works via with-replacement sampling."""
+    from cvaegan_tpu import CVAEGAN
+    from cvaegan_tpu.data.tabular import TabularDataset
+
+    x = np.random.default_rng(1).uniform(size=(10, 8)).astype(np.float32)
+    y = (np.arange(10) % 2).astype(np.int32)
+    ds = TabularDataset(x, y, x[:4], y[:4])
+    m = CVAEGAN()
+    m.fit(ds)
+    assert m.generate_samples(1, 4).shape == (4, 8)
