@@ -37,11 +37,14 @@ from cvaegan_tpu.data.tabular import TabularDataset
 def _as_arrays(dataset) -> Tuple[np.ndarray, np.ndarray]:
     if isinstance(dataset, TabularDataset):
         return dataset.tr_samples, dataset.tr_labels
+    if hasattr(dataset, "as_tuple"):  # compat.TrDataset / TeDataset
+        x, y = dataset.as_tuple()
+        return np.asarray(x, np.float32), np.asarray(y, np.int32)
     if isinstance(dataset, tuple) and len(dataset) == 2:
         return np.asarray(dataset[0], np.float32), np.asarray(dataset[1], np.int32)
     raise TypeError(
-        "fit() expects a TabularDataset or an (samples, labels) tuple, got "
-        f"{type(dataset)!r}"
+        "fit() expects a TabularDataset, a compat TrDataset/TeDataset, or "
+        f"an (samples, labels) tuple, got {type(dataset)!r}"
     )
 
 

@@ -31,14 +31,20 @@ from cvaegan_tpu.utils.logger import Logger
 def _train_arrays(dataset):
     if isinstance(dataset, TabularDataset):
         return dataset.tr_samples, dataset.tr_labels
-    x, y = dataset
+    if hasattr(dataset, "as_tuple"):  # compat.TrDataset / TeDataset
+        x, y = dataset.as_tuple()
+    else:
+        x, y = dataset
     return np.asarray(x, np.float32), np.asarray(y, np.int32)
 
 
 def _test_arrays(dataset):
     if isinstance(dataset, TabularDataset):
         return dataset.te_samples, dataset.te_labels
-    x, y = dataset
+    if hasattr(dataset, "as_tuple"):
+        x, y = dataset.as_tuple()
+    else:
+        x, y = dataset
     return np.asarray(x, np.float32), np.asarray(y, np.int32)
 
 
