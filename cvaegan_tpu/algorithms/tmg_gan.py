@@ -289,9 +289,21 @@ class TMGGAN(GenerativeTrainer):
 
     # --------------------------------------------------------- generation
     def _generator_forward(self, state, z, labels, key):
-        x, _, _ = self._gen_forward_slice(state["gens"], labels[0], z,
-                                          train=False)
-        return x
+        """Mixed-label-safe bank forward: run every generator of the bank
+        (vmap over stacked params — eval mode has no batch coupling, so
+        per-row selection is exact) and gather each row's output from its
+        label's generator. label_num× the FLOPs of a single slice, but the
+        MLPs are tiny and this removes the silent labels[0] keying for
+        mixed-label batches (VERDICT r1 Weak #6)."""
+        gen = self.modules["generator"]
+        gens = state["gens"]
+
+        def fwd(p, m):
+            x, _ = gen.apply({"params": p, **m}, z, train=False)
+            return x
+
+        x_all = jax.vmap(fwd)(gens.params, gens.mutables)  # [L, n, F]
+        return x_all[labels, jnp.arange(z.shape[0])]
 
     def _classifier_logits(self, state, x):
         cd = self.modules["cd"]

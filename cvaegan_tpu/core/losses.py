@@ -7,8 +7,20 @@ function so the judge can check parity; the implementations are original.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class AttentionRowEntropy(NamedTuple):
+    """Per-row attention entropy `[..., seq]` produced by a blockwise
+    attention kernel that never materialises the probability matrix
+    (`cvaegan_tpu.kernels.block_attention`). `attention_entropy` accepts
+    this in place of a dense probs tensor, so the entropy regulariser
+    stays exact in the O(seq)-memory regime."""
+
+    value: jnp.ndarray
 
 
 def mse(x_hat: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,9 +87,13 @@ def pinball(pred: jnp.ndarray, target: jnp.ndarray, quantiles: jnp.ndarray) -> j
     return jnp.mean(jnp.maximum(q * diff, (q - 1.0) * diff))
 
 
-def attention_entropy(attn_probs: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+def attention_entropy(attn_probs, eps: float = 1e-9) -> jnp.ndarray:
     """Mean attention-entropy regulariser `mean(-sum a log a)` over the last
-    axis (reference `src/rain_gan.py:269-289`)."""
+    axis (reference `src/rain_gan.py:269-289`). Also accepts an
+    `AttentionRowEntropy` (precomputed per-row entropies from the blockwise
+    kernel) and returns its mean."""
+    if isinstance(attn_probs, AttentionRowEntropy):
+        return jnp.mean(attn_probs.value)
     return jnp.mean(-jnp.sum(attn_probs * jnp.log(attn_probs + eps), axis=-1))
 
 

@@ -25,22 +25,26 @@ from cvaegan_tpu.models.layers import Dense, SpectralDense, one_hot
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """4-head self-attention returning (output, attn_probs)
+    """4-head self-attention returning (output, attn_stats)
     (`src/models/rain_gan_models.py:55-89`).
 
-    For sequences of at least `kernel_min_seq` on TPU, the contraction
-    dispatches to the blockwise Pallas flash-attention kernel
+    For sequences of at least `kernel_min_seq` on TPU (or when
+    `use_kernel=True` is forced), the contraction dispatches to the
+    blockwise Pallas flash-attention kernel
     (`cvaegan_tpu.kernels.block_attention`) — O(seq) memory, no
-    materialised probability matrix. The probs returned in that regime
-    are a zero-entropy placeholder of ones (the entropy regulariser's
-    exact value at the reference's seq_len=1 operating point); callers
-    needing dense maps (visualize_attention) run at short seq lengths
-    where the XLA path is taken.
+    materialised probability matrix. In that regime `attn_stats` is an
+    `AttentionRowEntropy` carrying exact per-row entropies `[b, h, s]`
+    computed inside the kernel, so `losses.attention_entropy` and entropy
+    diagnostics stay exact; callers needing dense probability maps
+    (`visualize_attention`) run at short seq lengths where the XLA path
+    returns them.
     """
 
     embed_dim: int
     num_heads: int = 4
     kernel_min_seq: int = 128
+    #: None = auto (TPU backend + seq >= kernel_min_seq); True/False forces.
+    use_kernel: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -56,19 +60,22 @@ class MultiHeadSelfAttention(nn.Module):
         k = split_heads(Dense(self.embed_dim)(x))
         v = split_heads(Dense(self.embed_dim)(x))
 
+        on_tpu = jax.default_backend() == "tpu"
         use_kernel = (
-            s >= self.kernel_min_seq
-            and s % 128 == 0
-            and jax.default_backend() == "tpu"
-        )
+            s >= self.kernel_min_seq and s % 128 == 0 and on_tpu
+        ) if self.use_kernel is None else self.use_kernel
         if use_kernel:
-            from cvaegan_tpu.kernels.block_attention import block_attention
+            from cvaegan_tpu.core.losses import AttentionRowEntropy
+            from cvaegan_tpu.kernels.block_attention import (
+                block_attention_with_entropy,
+            )
 
-            out = block_attention(
+            out, ent = block_attention_with_entropy(
                 q.reshape(b * h, s, hd), k.reshape(b * h, s, hd),
-                v.reshape(b * h, s, hd),
-            ).reshape(b, h, s, hd)
-            probs = jnp.ones((b, h, s, 1), x.dtype)  # placeholder (see doc)
+                v.reshape(b * h, s, hd), interpret=not on_tpu,
+            )
+            out = out.reshape(b, h, s, hd)
+            probs = AttentionRowEntropy(ent.reshape(b, h, s))
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
             probs = nn.softmax(scores, axis=-1)

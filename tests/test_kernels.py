@@ -135,3 +135,50 @@ def test_mhsa_kernel_dispatch_matches_xla():
     ref = block_attention.reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_block_attention_entropy_parity():
+    """Kernel row-entropy vs dense-softmax oracle at seq 128 and 256
+    (VERDICT r1 Weak #2: the kernel must emit real row statistics)."""
+    for seq, seed in ((128, 0), (256, 1)):
+        key = jax.random.PRNGKey(seed)
+        q, k, v = (jax.random.normal(kk, (4, seq, 32))
+                   for kk in jax.random.split(key, 3))
+        out, ent = block_attention.block_attention_with_entropy(
+            q, k, v, interpret=True)
+        ref_out = block_attention.reference_attention(q, k, v)
+        ref_ent = block_attention.reference_attention_entropy(q, k)
+        assert ent.shape == (4, seq)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ent), np.asarray(ref_ent),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_mhsa_kernel_path_entropy_matches_xla():
+    """Force the module's Pallas dispatch (interpret mode on CPU) and check
+    both the outputs and the AttentionRowEntropy stats against the XLA
+    path's dense probabilities."""
+    from cvaegan_tpu.core import losses
+    from cvaegan_tpu.models.attention import MultiHeadSelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 64))
+    mod_xla = MultiHeadSelfAttention(embed_dim=64, num_heads=4,
+                                     use_kernel=False)
+    mod_ker = MultiHeadSelfAttention(embed_dim=64, num_heads=4,
+                                     use_kernel=True)
+    variables = mod_xla.init({"params": jax.random.PRNGKey(1)}, x)
+    out_xla, probs = mod_xla.apply(variables, x)
+    out_ker, stats = mod_ker.apply(variables, x)
+    assert isinstance(stats, losses.AttentionRowEntropy)
+    assert stats.value.shape == (2, 4, 128)
+    np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        float(losses.attention_entropy(stats)),
+        float(losses.attention_entropy(probs)), rtol=2e-5)
+    # per-row parity, not just the mean
+    dense_ent = -np.sum(np.asarray(probs) * np.log(np.asarray(probs) + 1e-12),
+                        axis=-1)
+    np.testing.assert_allclose(np.asarray(stats.value), dense_ent,
+                               rtol=2e-4, atol=2e-5)

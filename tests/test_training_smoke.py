@@ -201,6 +201,48 @@ def test_rain_gan_smoke(blob_dataset, fast_settings):
     assert np.allclose(att["encoder_attention"], 1.0)
 
 
+def test_rain_gan_attention_history_cadence(blob_dataset, fast_settings):
+    """The reference records attention history every 50 epochs — 10 points
+    per 500-epoch fit (`src/rain_gan.py:291-316`). The class default must
+    stay at 50, and a fit must record one point per chunk boundary
+    (VERDICT r1 Weak #1)."""
+    from cvaegan_tpu import RAIN_GAN
+
+    assert RAIN_GAN.epoch_chunk == 50  # 500 epochs / 50 = 10 points
+    fast_settings.gan.epochs = 4
+    m = RAIN_GAN()
+    m.epoch_chunk = 2  # scaled-down cadence: 4 epochs / 2 = 2 points
+    m.fit(blob_dataset)
+    for net in ("encoder", "generator", "discriminator", "classifier"):
+        assert len(m.attention_history[net]) == 2, net
+        # seq_len == 1 -> mean attention weight is exactly 1 (softmax over
+        # a single key), as in the reference at its operating point.
+        assert np.allclose(m.attention_history[net], 1.0), net
+    assert m.plot_attention_history() is not None
+
+
+def test_tmg_mixed_label_generation(blob_dataset, fast_settings):
+    """_generator_forward must route each row through its own label's
+    generator for MIXED-label batches (VERDICT r1 Weak #6: it used to key
+    the whole batch off labels[0])."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvaegan_tpu import TMGGAN
+
+    m = TMGGAN()
+    m.fit(blob_dataset)
+    z = jax.random.normal(jax.random.PRNGKey(7), (6, m.gan_cfg.z_size))
+    labels = jnp.asarray([0, 1, 2, 3, 4, 0], jnp.int32)
+    x_mixed = np.asarray(m._generator_forward(m.state, z, labels, None))
+    for c in range(m.label_num):
+        uniform = jnp.full((6,), c, jnp.int32)
+        x_c = np.asarray(m._generator_forward(m.state, z, uniform, None))
+        rows = np.flatnonzero(np.asarray(labels) == c)
+        np.testing.assert_allclose(x_mixed[rows], x_c[rows],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_feature_importance(blob_dataset, fast_settings):
     from cvaegan_tpu import CVAEGAN, Classifier
 

@@ -28,7 +28,9 @@ OUT_DIR = pathlib.Path(__file__).parent / "Visualization_results"
 MODELS = ["cvae_gan", "ctgan", "sngan", "tmg_gan", "rain_gan", "qg_smote"]
 
 
-def _make_artifact(model_name: str) -> pathlib.Path:
+def _make_artifact(model_name: str, epochs: int = None,
+                   out_dir: pathlib.Path = None,
+                   max_per_class: int = None) -> pathlib.Path:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -48,26 +50,37 @@ def _make_artifact(model_name: str) -> pathlib.Path:
         "qg_smote": cvaegan_tpu.QG_SMOTE,
     }[model_name]
 
+    epochs = EPOCHS if epochs is None else epochs
+    out_dir = OUT_DIR if out_dir is None else out_dir
     old_epochs = config_lib.settings.gan.epochs
-    config_lib.settings.gan.epochs = EPOCHS
+    config_lib.settings.gan.epochs = epochs
     try:
         ds = TabularDataset.synthetic_blobs(seed=0)
         m = cls()
         m.verbose = False
         m.fit(ds)
-        xs, hues = [ds.tr_samples], [ds.tr_labels.astype(float)]
+        if max_per_class is None:
+            real_x, real_y = ds.tr_samples, ds.tr_labels
+        else:  # CI smoke mode: cap points so t-SNE stays fast
+            keep = np.concatenate([
+                np.flatnonzero(ds.tr_labels == c)[:max_per_class]
+                for c in range(ds.label_num)])
+            real_x, real_y = ds.tr_samples[keep], ds.tr_labels[keep]
+        xs, hues = [real_x], [real_y.astype(float)]
         for c in range(ds.label_num):
-            n = int((ds.tr_labels == c).sum())
+            n = int((real_y == c).sum())
             g = m.generate_samples(c, n)
             xs.append(g)
             hues.append(np.full(len(g), c + 0.1))
-        embedded = TSNE(n_components=2).fit_transform(
+        n_points = sum(len(x) for x in xs)
+        embedded = TSNE(n_components=2,
+                        perplexity=min(30.0, (n_points - 1) / 3)).fit_transform(
             np.concatenate(xs, axis=0).astype(np.float64))
-        OUT_DIR.mkdir(exist_ok=True)
+        out_dir.mkdir(exist_ok=True, parents=True)
         plt.figure(figsize=(10, 8))
         sns.scatterplot(x=embedded[:, 0], y=embedded[:, 1],
                         hue=np.concatenate(hues), palette="deep", s=12)
-        out = OUT_DIR / f"{model_name}.jpg"
+        out = out_dir / f"{model_name}.jpg"
         plt.savefig(out)
         plt.close()
         return out
@@ -79,6 +92,17 @@ def _make_artifact(model_name: str) -> pathlib.Path:
 @pytest.mark.parametrize("model_name", MODELS)
 def test_visual_artifact(model_name):
     out = _make_artifact(model_name)
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+@pytest.mark.parametrize("model_name", MODELS)
+def test_visual_smoke(model_name, tmp_path):
+    """Always-on 2-epoch regression signal for the visual pipeline
+    (VERDICT r1 Weak #7): every model's fit -> generate -> t-SNE -> jpg
+    path must produce a non-empty artifact. Renders into a temp dir so
+    the committed publication jpgs are never overwritten."""
+    out = _make_artifact(model_name, epochs=2, out_dir=tmp_path,
+                         max_per_class=25)
     assert out.exists() and out.stat().st_size > 10_000
 
 
