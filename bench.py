@@ -1,13 +1,21 @@
-"""Benchmark: CVAE-GAN training-step throughput on one TPU chip.
+"""Benchmark: CVAE-GAN training-step + generation throughput on one TPU chip.
 
 Protocol (matches the reference's implicit envelope, BASELINE.md):
 blob fixture (1000x30, 5 classes), batch 128, z 128, per-class
 (5 D + 5 C + 3 G) = 65 optimizer steps per epoch. We time steady-state
-fused-epoch execution (compile excluded) and report steps/sec.
+fused-epoch execution (compile excluded) and report steps/sec as the
+primary metric; the same JSON line also carries:
+  * gen_samples_per_sec        — XLA generator path, device rate
+  * gen_samples_per_sec_fused  — Pallas fused-MLP kernel path, device rate
+  * qualified_yield            — generate_qualified_samples survivors at
+                                 the default 0.5 threshold (x/250)
+Device rate = two-point timing (a long and a short scan of generation
+batches inside ONE jitted call each); the difference cancels the ~1s
+per-dispatch host/tunnel overhead that would otherwise dominate.
 
-Baseline: the torch reference measured on this machine's CPU at
-130.25 steps/sec (10-epoch steady state, `scripts/` protocol —
-see BASELINE.md). vs_baseline = ours / 130.25.
+Baselines: torch reference measured on this machine's CPU at 130.25
+train steps/sec and ~225k generated samples/sec (BASELINE.md).
+vs_baseline = ours / reference for the primary metric.
 
 Prints exactly ONE JSON line.
 """
@@ -18,11 +26,50 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_CPU_STEPS_PER_SEC = 130.25  # torch reference, same fixture/machine
+REF_CPU_STEPS_PER_SEC = 130.25   # torch reference, same fixture/machine
+REF_CPU_GEN_PER_SEC = 225_000.0  # torch generate_samples, same machine
+
+GEN_BATCH = 8192
+
+
+def _gen_rate(m, fused: bool) -> float:
+    """Steady-state generator throughput (samples/sec, device rate)."""
+    from cvaegan_tpu.kernels import fused_mlp as fused_k
+
+    labels = jnp.zeros((GEN_BATCH,), jnp.int32)
+    onehot = jax.nn.one_hot(labels, m.label_num)
+    z_size = m.gan_cfg.z_size
+
+    def run(state, key, n):
+        def body(acc, k):
+            z = jax.random.normal(k, (GEN_BATCH, z_size))
+            if fused:
+                x = fused_k.fast_generator_forward(state["generator"], z,
+                                                   onehot)
+            else:
+                x = m._generator_forward(state, z, labels, None)
+            return acc + jnp.mean(x), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(key, n))
+        return acc
+
+    fn = jax.jit(run, static_argnames=("n",))
+    key = jax.random.PRNGKey(0)
+    n_short, n_long = 50, 550
+    jax.device_get(fn(m.state, key, n=n_short))  # compile warmups
+    jax.device_get(fn(m.state, key, n=n_long))
+    t0 = time.perf_counter()
+    jax.device_get(fn(m.state, key, n=n_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(fn(m.state, key, n=n_long))
+    t_long = time.perf_counter() - t0
+    return (n_long - n_short) * GEN_BATCH / max(t_long - t_short, 1e-9)
 
 
 def main() -> None:
@@ -56,11 +103,24 @@ def main() -> None:
 
     steps = bench_epochs * steps_per_epoch
     value = steps / elapsed
+
+    # ---- generation throughput + qualified yield (VERDICT r1 item 5) ----
+    gen_xla = _gen_rate(m, fused=False)
+    gen_fused = _gen_rate(m, fused=True)
+    yield_n = sum(
+        len(m.generate_qualified_samples(c, 50)) for c in range(ds.label_num)
+    )
+
     print(json.dumps({
         "metric": "cvae_gan_train_steps_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "steps/sec",
         "vs_baseline": round(value / REF_CPU_STEPS_PER_SEC, 2),
+        "gen_samples_per_sec": round(gen_xla),
+        "gen_samples_per_sec_fused": round(gen_fused),
+        "gen_vs_baseline": round(max(gen_xla, gen_fused)
+                                 / REF_CPU_GEN_PER_SEC, 2),
+        "qualified_yield": f"{yield_n}/250",
     }))
 
 
