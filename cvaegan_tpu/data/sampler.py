@@ -61,8 +61,13 @@ def sample_class_batch(
 
     count = jnp.maximum(index.counts[class_id], 1)
     r = jax.random.randint(key, (batch_size,), 0, count)
-    rows = index.table[class_id, r]
-    return shard_leading(samples[rows])
+    # Constrain the INDEX vector, not the gathered rows: the gather of a
+    # replicated table with data-sharded indices is natively sharded on
+    # the batch axis, whereas constraining the gather output forces a
+    # device-order change XLA can only satisfy by full rematerialization
+    # (observed SPMD warnings in the round-1 multichip dryrun).
+    rows = index.table[class_id, shard_leading(r)]
+    return samples[rows]
 
 
 def sample_balanced_batch(
@@ -82,11 +87,12 @@ def sample_balanced_batch(
     from cvaegan_tpu.parallel.mesh import shard_leading
 
     k_lab, k_row = jax.random.split(key)
-    labels = jax.random.randint(k_lab, (batch_size,), 0, index.label_num)
+    labels = shard_leading(
+        jax.random.randint(k_lab, (batch_size,), 0, index.label_num))
     counts = jnp.maximum(index.counts[labels], 1)
     r = jax.random.randint(k_row, (batch_size,), 0, jnp.iinfo(jnp.int32).max)
-    rows = index.table[labels, r % counts]
-    return shard_leading(samples[rows]), shard_leading(labels)
+    rows = index.table[labels, r % counts]  # sharding follows `labels`
+    return samples[rows], labels
 
 
 def sample_random_batch(
@@ -96,5 +102,6 @@ def sample_random_batch(
     reference `src/gan.py:149-185`)."""
     from cvaegan_tpu.parallel.mesh import shard_leading
 
-    r = jax.random.randint(key, (batch_size,), 0, samples.shape[0])
-    return shard_leading(samples[r]), shard_leading(labels[r])
+    r = shard_leading(
+        jax.random.randint(key, (batch_size,), 0, samples.shape[0]))
+    return samples[r], labels[r]  # sharding follows the index vector

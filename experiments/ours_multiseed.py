@@ -1,0 +1,134 @@
+"""Multi-seed head-to-head study — cvaegan_tpu side (1 TPU chip).
+
+Runs the full `pipelines/balance.py` pipeline per (model, seed, mode) on
+the SAME per-seed fixtures as `experiments/ref_multiseed.py` (bit-identical
+data both frameworks) and appends one JSON line per run.
+
+Modes:
+  strict   — reference-parity per-class round-robin training
+  balanced — beyond-parity class-balanced mixed rounds (conditional
+             models only; TMG-GAN intrinsically per-class, skipped)
+
+Usage (serialize with any other TPU process — the axon tunnel wedges on
+concurrent access):
+  PYTHONPATH=/root/repo:$PYTHONPATH python experiments/ours_multiseed.py \
+      --out /tmp/ours_multiseed.jsonl --seeds 0 1 2 3 4
+"""
+
+import argparse
+import json
+import pathlib
+import time
+import traceback
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+# model name -> (class name, supports balanced_mode, generation_mode)
+MODELS = {
+    "cvae_gan": ("CVAEGAN", True, "qualified"),
+    "cgan": ("CGAN", True, "qualified"),
+    "gan": ("GAN", False, "qualified"),
+    "cvae": ("CVAE", True, "qualified"),
+    "sngan": ("SNGAN", True, "qualified"),
+    "ctgan": ("CTGAN", True, "qualified"),
+    "qg_smote": ("QG_SMOTE", True, "qualified"),
+    "rain_gan": ("RAIN_GAN", True, "qualified"),
+    "tmg_gan": ("TMGGAN", False, "tmg"),
+    "vae_gan": ("VAEGAN", False, "unconditional"),
+    "vae": ("VAE", False, "qualified"),  # ours works; reference's is broken
+}
+
+
+def load_fixture(path) -> "TabularDataset":
+    from cvaegan_tpu.data.tabular import TabularDataset
+
+    d = np.load(path)
+    return TabularDataset(d["tr_x"], d["tr_y"].astype(np.int32),
+                          d["te_x"], d["te_y"].astype(np.int32),
+                          name=pathlib.Path(path).stem)
+
+
+def run_one(model_name: str, seed: int, fixture, balanced: bool,
+            threshold=None):
+    import cvaegan_tpu
+    from cvaegan_tpu.pipelines.balance import run_balance_pipeline
+
+    cls_name, _, gen_mode = MODELS[model_name]
+    cls = getattr(cvaegan_tpu, cls_name)
+    ds = load_fixture(fixture)
+    t0 = time.time()
+    r = run_balance_pipeline(
+        cls, cls_name, ds, out_dir="/tmp", plot=False, seed=seed,
+        generation_mode=gen_mode, balanced_mode=balanced,
+        confidence_threshold=threshold,
+    )
+    needed = 1335 if gen_mode != "unconditional" else 900
+    generated = len(r["augmented"].tr_samples) - 900
+    return {
+        "framework": "cvaegan_tpu",
+        "model": model_name,
+        "seed": seed,
+        "mode": "balanced" if balanced else "strict",
+        **({"threshold": threshold} if threshold is not None else {}),
+        "macro_f1": r["multiclass_metrics"]["F1"],
+        "multiclass": {k: float(v) for k, v in r["multiclass_metrics"].items()},
+        "binary_f1": r["binary_metrics"]["F1"],
+        "generated": int(generated),
+        "needed": needed,
+        "total_seconds": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
+    p.add_argument("--models", nargs="+", default=list(MODELS))
+    p.add_argument("--modes", nargs="+", default=["strict", "balanced"])
+    p.add_argument("--fixtures", default="/tmp/fixtures")
+    p.add_argument("--out", default="/tmp/ours_multiseed.jsonl")
+    p.add_argument("--threshold", type=float, default=None)
+    args = p.parse_args()
+
+    out = pathlib.Path(args.out)
+    done = set()
+    if out.exists():  # resume support
+        for line in out.read_text().splitlines():
+            try:
+                r = json.loads(line)
+                done.add((r["model"], r["seed"], r["mode"],
+                          r.get("threshold")))
+            except (json.JSONDecodeError, KeyError):
+                pass
+
+    for seed in args.seeds:
+        fixture = pathlib.Path(args.fixtures) / f"imb_s{seed}.npz"
+        for model_name in args.models:
+            for mode in args.modes:
+                balanced = mode == "balanced"
+                if balanced and not MODELS[model_name][1]:
+                    continue
+                key = (model_name, seed, mode, args.threshold)
+                if key in done:
+                    print(f"skip {key} (done)", flush=True)
+                    continue
+                print(f"=== {model_name} seed {seed} {mode} ===", flush=True)
+                try:
+                    rec = run_one(model_name, seed, fixture, balanced,
+                                  args.threshold)
+                except Exception as e:
+                    traceback.print_exc()
+                    rec = {"framework": "cvaegan_tpu", "model": model_name,
+                           "seed": seed, "mode": mode,
+                           "error": f"{type(e).__name__}: {e}"}
+                with open(out, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

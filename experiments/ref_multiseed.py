@@ -192,9 +192,11 @@ def main():
             except (json.JSONDecodeError, KeyError):
                 pass
 
-    for seed in args.seeds:
-        fixture = pathlib.Path(args.fixtures) / f"imb_s{seed}.npz"
-        for model_name in args.models:
+    # Model-major order: if wall-clock runs out, the models listed first
+    # have complete seed coverage (put the contested ones first).
+    for model_name in args.models:
+        for seed in args.seeds:
+            fixture = pathlib.Path(args.fixtures) / f"imb_s{seed}.npz"
             if (model_name, seed) in done:
                 print(f"skip {model_name} s{seed} (done)", flush=True)
                 continue

@@ -38,15 +38,22 @@ def test_shard_leading_noop_without_mesh():
     assert mesh_lib.shard_leading(x) is x
 
 
-def test_sharded_epoch_matches_single_device(blob_dataset, fast_settings):
-    """The same fused CVAE-GAN epoch on a 4x2 DPxTP mesh must produce the
-    same losses as the unsharded run (identical math, different layout)."""
-    from cvaegan_tpu import CVAEGAN
+@pytest.mark.parametrize("model_name", ["CVAEGAN", "TMGGAN", "CTGAN"])
+def test_sharded_epoch_matches_single_device(model_name, blob_dataset,
+                                             fast_settings):
+    """The same fused epoch on a 4x2 DPxTP mesh must produce the same
+    losses as the unsharded run (identical math, different layout).
+    Covers the three structurally distinct trainers: the 4-net
+    alternating CVAE-GAN step, TMG-GAN's vmapped generator bank +
+    cross-generator diversity step, and CTGAN's per-example gradient
+    penalty (VERDICT r1 item 2)."""
+    import cvaegan_tpu
 
+    cls = getattr(cvaegan_tpu, model_name)
     fast_settings.gan.batch_size = 32  # divides the 4-way data axis
 
     def one_epoch(use_mesh):
-        m = CVAEGAN()
+        m = cls()
         m._prepare(blob_dataset)
         state, data = m.state, m._data
         key = jax.random.PRNGKey(7)
@@ -85,7 +92,7 @@ def test_graft_entry_dryrun():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 30)
-    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(8)  # cycles CVAE-GAN, TMG-GAN, CTGAN
 
 
 def test_global_mesh_and_distributed_helpers():
