@@ -1,0 +1,95 @@
+"""Aggregate the multi-seed study JSONLs into a markdown table.
+
+Reads the reference-side and ours-side JSONL outputs
+(`experiments/ref_multiseed.py`, `experiments/ours_multiseed.py`) and
+prints mean±std macro-F1 and qualified-generation yield per model, with
+a win/loss verdict column (win = ours mean >= reference mean - pooled
+std noise).
+
+Usage: python experiments/summarize_study.py \
+    [--ref /tmp/ref_multiseed.jsonl] [--ours /tmp/ours_multiseed.jsonl]
+"""
+
+import argparse
+import json
+import pathlib
+from collections import defaultdict
+
+import numpy as np
+
+
+def load(path):
+    rows = []
+    p = pathlib.Path(path)
+    if not p.exists():
+        return rows
+    for line in p.read_text().splitlines():
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "error" not in r:
+            rows.append(r)
+    return rows
+
+
+def agg(rows, key_fn):
+    groups = defaultdict(list)
+    for r in rows:
+        groups[key_fn(r)].append(r)
+    out = {}
+    for k, rs in groups.items():
+        f1 = np.asarray([r["macro_f1"] for r in rs])
+        gen = np.asarray([r["generated"] for r in rs])
+        out[k] = {
+            "n": len(rs),
+            "f1_mean": float(f1.mean()), "f1_std": float(f1.std()),
+            "gen_mean": float(gen.mean()),
+            "seeds": sorted(r["seed"] for r in rs),
+        }
+    return out
+
+
+def fmt(stat):
+    if stat is None:
+        return "—"
+    return (f"{stat['f1_mean']:.3f}±{stat['f1_std']:.3f} "
+            f"(n={stat['n']}, gen {stat['gen_mean']:.0f})")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ref", default="/tmp/ref_multiseed.jsonl")
+    p.add_argument("--ours", default="/tmp/ours_multiseed.jsonl")
+    args = p.parse_args()
+
+    ref = agg(load(args.ref), lambda r: r["model"])
+    ours_rows = load(args.ours)
+    ours_strict = agg([r for r in ours_rows if r["mode"] == "strict"],
+                      lambda r: r["model"])
+    ours_bal = agg([r for r in ours_rows if r["mode"] == "balanced"],
+                   lambda r: r["model"])
+
+    models = sorted(set(ref) | set(ours_strict) | set(ours_bal))
+    print("| Model | Reference (torch CPU) | Ours strict | Ours balanced "
+          "| Verdict |")
+    print("|---|---|---|---|---|")
+    for m in models:
+        r, s, b = ref.get(m), ours_strict.get(m), ours_bal.get(m)
+        verdict = "—"
+        if r and (s or b):
+            best = max([x for x in (s, b) if x],
+                       key=lambda x: x["f1_mean"])
+            noise = max(r["f1_std"], best["f1_std"], 1e-9)
+            diff = best["f1_mean"] - r["f1_mean"]
+            if diff >= 0:
+                verdict = f"**win** (+{diff:.3f})"
+            elif abs(diff) <= noise:
+                verdict = f"parity (Δ{diff:+.3f} ≤ σ {noise:.3f})"
+            else:
+                verdict = f"LOSS ({diff:+.3f})"
+        print(f"| {m} | {fmt(r)} | {fmt(s)} | {fmt(b)} | {verdict} |")
+
+
+if __name__ == "__main__":
+    main()
