@@ -39,7 +39,8 @@ class SNGAN(GenerativeTrainer):
         cfg = self.gan_cfg
         self.modules = {
             "generator": sngan_models.SNGANGenerator(
-                output_dim=self.feature_num, num_classes=self.label_num),
+                output_dim=self.feature_num, num_classes=self.label_num,
+                spectral=bool(self.hparams.get("spectral_g", True))),
             "discriminator": sngan_models.SNGANDiscriminator(
                 num_classes=self.label_num),
             "classifier": sngan_models.SNGANClassifier(

@@ -20,18 +20,30 @@ from cvaegan_tpu.models.layers import BatchNorm, SpectralDense, hidden_sizes, on
 class SNGANGenerator(nn.Module):
     output_dim: int
     num_classes: int
+    #: reference parity puts spectral norm on the generator too
+    #: (`src/models/sngan_models.py:21-40`); `spectral=False` is the
+    #: sweep knob for the hinge-loss hyperparameter study (SN on G is a
+    #: known capacity limiter).
+    spectral: bool = True
 
     @nn.compact
     def __call__(self, z, labels=None, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from cvaegan_tpu.models.layers import Dense
+
+        def dense(v, f):
+            if self.spectral:
+                return SpectralDense(f)(v, update_stats=train)
+            return Dense(f)(v)
+
         if self.num_classes > 0:
             z = jnp.concatenate([z, one_hot(labels, self.num_classes)], axis=-1)
         h = z
         for f in hidden_sizes(z.shape[-1]):
-            h = SpectralDense(f)(h, update_stats=train)
+            h = dense(h, f)
             h = BatchNorm()(h, train=train)
             h = nn.relu(h)
         hidden = h
-        x = SpectralDense(self.output_dim)(h, update_stats=train)
+        x = dense(h, self.output_dim)
         return nn.sigmoid(x), hidden
 
 
