@@ -65,6 +65,7 @@ def run_balance_pipeline(
     plot: bool = True,
     confidence_threshold: Optional[float] = None,
     balanced_mode: bool = False,
+    warm_start: bool = True,
 ):
     """Run the full script pipeline; returns a result dict with the
     trained model, classifier, and metrics."""
@@ -131,8 +132,13 @@ def run_balance_pipeline(
 
     # ---- downstream classifier --------------------------------------
     clf = Classifier(display_name, seed=seed, settings=settings)
-    if getattr(model, "modules", {}).get("classifier") is not None:
-        clf.warm_start_from(model)  # reference warm-start idiom
+    if warm_start and getattr(model, "modules", {}).get("classifier") is not None:
+        # Reference warm-start idiom (`scripts/train_cvae_gan.py:143-146`).
+        # warm_start=False is the documented escape hatch for models whose
+        # companion classifier architecture hurts downstream capacity
+        # (measured: SNGAN's spectral-normed classifier scores BELOW the
+        # fresh-classifier baseline).
+        clf.warm_start_from(model)
     clf.fit(aug)
 
     clf.test(aug)

@@ -35,6 +35,14 @@ VARIANTS = {
     "d_loop_1": {"d_loop_num": 1},
     "no_sn_g": {"spectral_g": False},
     "combo": {"d_loop_num": 1, "spectral_g": False},
+    # Round-2 finding: every GAN-side knob above leaves yield at 0 and
+    # F1 ~0.14 — BELOW the 0.339 unaugmented baseline. Root cause is the
+    # spectral-normed companion CLASSIFIER: its softmax never clears the
+    # 0.5 cut (no generation) and warm-starting the downstream classifier
+    # from it caps capacity. These two variants test that diagnosis:
+    "fresh_clf": {"warm_start": False},
+    "thresh_0.3": {"confidence_threshold": 0.3},
+    "fresh+thresh": {"warm_start": False, "confidence_threshold": 0.3},
 }
 
 
@@ -65,8 +73,10 @@ def run_variant(name, overrides, seed, fixture):
                 overrides["spectral_g"])
         ds = load_fixture(fixture)
         t0 = time.time()
-        r = run_balance_pipeline(SNGAN, "SNGAN", ds, out_dir="/tmp",
-                                 plot=False, seed=seed)
+        r = run_balance_pipeline(
+            SNGAN, "SNGAN", ds, out_dir="/tmp", plot=False, seed=seed,
+            warm_start=overrides.get("warm_start", True),
+            confidence_threshold=overrides.get("confidence_threshold"))
         return {
             "variant": name, "seed": seed, "overrides": overrides,
             "macro_f1": r["multiclass_metrics"]["F1"],
