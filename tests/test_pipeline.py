@@ -24,6 +24,31 @@ def test_balance_pipeline_cvae_gan(blob_dataset, fast_settings, tmp_path):
     assert len(te_x) == 100
 
 
+def test_balance_pipeline_warm_start_knob(blob_dataset, fast_settings,
+                                          tmp_path):
+    """warm_start=False trains a FRESH downstream classifier instead of
+    reusing the model's companion (the measured fix for the SNGAN floor,
+    BASELINE.md round-2 note); default stays reference parity."""
+    from cvaegan_tpu import CVAEGAN
+    from cvaegan_tpu.pipelines.balance import run_balance_pipeline
+
+    result = run_balance_pipeline(
+        CVAEGAN, "CVAE_GAN", blob_dataset, out_dir=tmp_path, plot=False,
+        warm_start=False,
+    )
+    assert set(result["multiclass_metrics"]) == {"Precision", "Recall", "F1"}
+    clf_params = result["classifier"].params
+    model_params = result["model"].state["classifier"].params
+    import jax
+
+    # fresh classifier: structure may match, values must differ from the
+    # companion (they were trained on different objectives/data)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        if a.shape == b.shape else 1.0, clf_params, model_params))
+    assert max(diffs) > 1e-4
+
+
 def test_balance_pipeline_vae_gan_unconditional(blob_dataset, fast_settings,
                                                 tmp_path):
     from cvaegan_tpu import VAEGAN
