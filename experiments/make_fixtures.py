@@ -39,7 +39,8 @@ def make_fixture(seed: int):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
-    p.add_argument("--out", default="/tmp/fixtures")
+    p.add_argument("--out", default=str(pathlib.Path(__file__).parent
+                                        / "fixtures"))
     args = p.parse_args()
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

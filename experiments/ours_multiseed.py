@@ -89,12 +89,15 @@ def main():
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     p.add_argument("--models", nargs="+", default=list(MODELS))
     p.add_argument("--modes", nargs="+", default=["strict", "balanced"])
-    p.add_argument("--fixtures", default="/tmp/fixtures")
-    p.add_argument("--out", default="/tmp/ours_multiseed.jsonl")
+    here = pathlib.Path(__file__).parent
+    p.add_argument("--fixtures", default=str(here / "fixtures"))
+    p.add_argument("--out", default=str(here / "results"
+                                        / "ours_multiseed.jsonl"))
     p.add_argument("--threshold", type=float, default=None)
     args = p.parse_args()
 
     out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
     done = set()
     if out.exists():  # resume support
         for line in out.read_text().splitlines():

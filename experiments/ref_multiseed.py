@@ -164,8 +164,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     p.add_argument("--models", nargs="+", default=list(MODELS))
-    p.add_argument("--fixtures", default="/tmp/fixtures")
-    p.add_argument("--out", default="/tmp/ref_multiseed.jsonl")
+    here = pathlib.Path(__file__).parent
+    p.add_argument("--fixtures", default=str(here / "fixtures"))
+    p.add_argument("--out", default=str(here / "results"
+                                        / "ref_multiseed.jsonl"))
     p.add_argument("--threads", type=int, default=0,
                    help="torch CPU threads (0 = torch default)")
     p.add_argument("--test-mode", action="store_true",
@@ -183,6 +185,7 @@ def main():
         _u.turn_on_test_mode()
 
     out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
     done = set()
     if out.exists():  # resume support
         for line in out.read_text().splitlines():

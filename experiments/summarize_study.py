@@ -59,8 +59,11 @@ def fmt(stat):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--ref", default="/tmp/ref_multiseed.jsonl")
-    p.add_argument("--ours", default="/tmp/ours_multiseed.jsonl")
+    here = pathlib.Path(__file__).parent
+    p.add_argument("--ref", default=str(here / "results"
+                                        / "ref_multiseed.jsonl"))
+    p.add_argument("--ours", default=str(here / "results"
+                                         / "ours_multiseed.jsonl"))
     args = p.parse_args()
 
     ref = agg(load(args.ref), lambda r: r["model"])
