@@ -171,6 +171,12 @@ class Classifier:
         self.logger.info("Finished training")
 
     # ------------------------------------------------------------ predict
+    #: rows per inference dispatch; large test sets (e.g. the 400k-row
+    #: CAN-scale split) are chunked so one dispatch never carries
+    #: hundreds of MB of activations over the device tunnel. Chunks are
+    #: padded to CHUNK so every dispatch reuses one compiled shape.
+    PREDICT_CHUNK = 65536
+
     def _logits(self, x: np.ndarray) -> np.ndarray:
         fn = getattr(self, "_logits_fn", None)
         if fn is None:
@@ -180,8 +186,20 @@ class Classifier:
 
             fn = jax.jit(_eval)
             self._logits_fn = fn
-        return np.asarray(fn(self.params, self.mutables,
-                             jnp.asarray(x, jnp.float32)))
+        n, chunk = len(x), self.PREDICT_CHUNK
+        if n <= chunk:
+            return np.asarray(fn(self.params, self.mutables,
+                                 jnp.asarray(x, jnp.float32)))
+        outs = []
+        for i in range(0, n, chunk):
+            part = x[i:i + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = np.concatenate([part, part[-1:].repeat(pad, 0)])
+            got = np.asarray(fn(self.params, self.mutables,
+                                jnp.asarray(part, jnp.float32)))
+            outs.append(got[:chunk - pad] if pad else got)
+        return np.concatenate(outs, axis=0)
 
     def predict(self, x, use_prob: bool = False) -> np.ndarray:
         logits = self._logits(np.asarray(x, np.float32))

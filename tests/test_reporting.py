@@ -63,3 +63,23 @@ def test_missing_dataset_error_is_helpful():
 
     with pytest.raises(FileNotFoundError, match="prepare_can_dataset"):
         load_dataset("NOPE_DOES_NOT_EXIST")
+
+
+def test_predict_chunking_matches_single_dispatch(blob_dataset, fast_settings):
+    """Chunked large-batch inference (padded fixed-shape dispatches) must
+    produce exactly the same logits as one dispatch."""
+    import numpy as np
+
+    from cvaegan_tpu import Classifier
+
+    clf = Classifier("chunktest")
+    clf.fit(blob_dataset)
+    x = np.asarray(blob_dataset.tr_samples, np.float32)  # 900 rows
+    whole = clf.predict(x, use_prob=True)
+    old = Classifier.PREDICT_CHUNK
+    try:
+        clf.PREDICT_CHUNK = 256  # force 4 chunks incl. a padded tail
+        chunked = clf.predict(x, use_prob=True)
+    finally:
+        clf.PREDICT_CHUNK = old
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-6)
