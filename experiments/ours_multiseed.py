@@ -54,7 +54,7 @@ def load_fixture(path) -> "TabularDataset":
 
 
 def run_one(model_name: str, seed: int, fixture, balanced: bool,
-            threshold=None):
+            threshold=None, warm_start: bool = True):
     import cvaegan_tpu
     from cvaegan_tpu.pipelines.balance import run_balance_pipeline
 
@@ -65,15 +65,18 @@ def run_one(model_name: str, seed: int, fixture, balanced: bool,
     r = run_balance_pipeline(
         cls, cls_name, ds, out_dir="/tmp", plot=False, seed=seed,
         generation_mode=gen_mode, balanced_mode=balanced,
-        confidence_threshold=threshold,
+        confidence_threshold=threshold, warm_start=warm_start,
     )
     needed = 1335 if gen_mode != "unconditional" else 900
     generated = len(r["augmented"].tr_samples) - 900
+    mode = "balanced" if balanced else "strict"
+    if not warm_start:
+        mode += "+fresh_clf"
     return {
         "framework": "cvaegan_tpu",
         "model": model_name,
         "seed": seed,
-        "mode": "balanced" if balanced else "strict",
+        "mode": mode,
         **({"threshold": threshold} if threshold is not None else {}),
         "macro_f1": r["multiclass_metrics"]["F1"],
         "multiclass": {k: float(v) for k, v in r["multiclass_metrics"].items()},
@@ -94,6 +97,9 @@ def main():
     p.add_argument("--out", default=str(here / "results"
                                         / "ours_multiseed.jsonl"))
     p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--no-warm-start", action="store_true",
+                   help="fresh downstream classifier (the documented "
+                        "SNGAN fix, BASELINE.md); tags mode +fresh_clf")
     args = p.parse_args()
 
     out = pathlib.Path(args.out)
@@ -115,14 +121,18 @@ def main():
                 balanced = mode == "balanced"
                 if balanced and not MODELS[model_name][1]:
                     continue
-                key = (model_name, seed, mode, args.threshold)
+                mode_tag = mode + ("+fresh_clf" if args.no_warm_start
+                                   else "")
+                key = (model_name, seed, mode_tag, args.threshold)
                 if key in done:
                     print(f"skip {key} (done)", flush=True)
                     continue
-                print(f"=== {model_name} seed {seed} {mode} ===", flush=True)
+                print(f"=== {model_name} seed {seed} {mode_tag} ===",
+                      flush=True)
                 try:
                     rec = run_one(model_name, seed, fixture, balanced,
-                                  args.threshold)
+                                  args.threshold,
+                                  warm_start=not args.no_warm_start)
                 except Exception as e:
                     traceback.print_exc()
                     rec = {"framework": "cvaegan_tpu", "model": model_name,

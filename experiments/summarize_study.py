@@ -72,6 +72,11 @@ def main():
                       lambda r: r["model"])
     ours_bal = agg([r for r in ours_rows if r["mode"] == "balanced"],
                    lambda r: r["model"])
+    # documented beyond-parity variants (e.g. sngan fresh_clf) get their
+    # own row, keyed "model [mode]"
+    extra = agg([r for r in ours_rows
+                 if r["mode"] not in ("strict", "balanced")],
+                lambda r: f"{r['model']} [{r['mode']}]")
 
     models = sorted(set(ref) | set(ours_strict) | set(ours_bal))
     print("| Model | Reference (torch CPU) | Ours strict | Ours balanced "
@@ -92,6 +97,16 @@ def main():
             else:
                 verdict = f"LOSS ({diff:+.3f})"
         print(f"| {m} | {fmt(r)} | {fmt(s)} | {fmt(b)} | {verdict} |")
+    for k in sorted(extra):
+        e = extra[k]
+        base = k.split(" ")[0]
+        r = ref.get(base)
+        verdict = "—"
+        if r:
+            diff = e["f1_mean"] - r["f1_mean"]
+            verdict = (f"**win** (+{diff:.3f})" if diff >= 0
+                       else f"LOSS ({diff:+.3f})")
+        print(f"| {k} | {fmt(r)} | {fmt(e)} | — | {verdict} |")
 
 
 if __name__ == "__main__":
