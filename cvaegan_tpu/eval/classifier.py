@@ -94,6 +94,12 @@ class Classifier:
         self.label_num = trainer.label_num
 
     # -------------------------------------------------------------- train
+    #: max optimizer steps per jitted dispatch during fit; keeps any
+    #: single XLA program under a few seconds of device time so the
+    #: runtime watchdog never kills a long scan (reference-sized data
+    #: still trains in ONE dispatch: 100 epochs x 15 batches << this).
+    FIT_STEPS_PER_DISPATCH = 250_000
+
     def fit(self, dataset) -> None:
         x, y = _train_arrays(dataset)
         n, feature_num = x.shape
@@ -109,9 +115,8 @@ class Classifier:
         tx = optax.adam(self.cfg.lr)
         module = self.module
 
-        @functools.partial(jax.jit, static_argnames=("epochs",),
-                           donate_argnums=(0, 1, 2))
-        def train(params, mutables, opt_state, key, epochs):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train(params, mutables, opt_state, ekeys):
             def epoch(carry, ekey):
                 params, mutables, opt_state = carry
                 kperm, kdrop = jax.random.split(ekey)
@@ -159,14 +164,26 @@ class Classifier:
                 return (params, mutables, opt_state), losses_[-1]
 
             (params, mutables, opt_state), _ = jax.lax.scan(
-                epoch, (params, mutables, opt_state), jax.random.split(key, epochs)
+                epoch, (params, mutables, opt_state), ekeys
             )
             return params, mutables, opt_state
 
         opt_state = tx.init(self.params)
-        self.params, self.mutables, _ = train(
-            self.params, self.mutables, opt_state, self._next_key(),
-            epochs=self.cfg.epochs)
+        # Bound the work per XLA dispatch: one program scanning all
+        # epochs is fine on the reference-sized sets, but at CAN-corpus
+        # magnitude (3.6M rows -> ~56k batches/epoch) a single program
+        # running for minutes gets the TPU worker killed mid-scan (the
+        # failure then surfaces at the NEXT blocking fetch, since axon
+        # dispatch is async). Epoch keys are pre-split once, so chunked
+        # and monolithic execution are bit-identical.
+        epochs = self.cfg.epochs
+        ekeys = jax.random.split(self._next_key(), epochs)
+        chunk = max(1, min(epochs, self.FIT_STEPS_PER_DISPATCH // nb))
+        params, mutables = self.params, self.mutables
+        for start in range(0, epochs, chunk):
+            params, mutables, opt_state = train(
+                params, mutables, opt_state, ekeys[start:start + chunk])
+        self.params, self.mutables = params, mutables
         self._logits_fn = None
         self.logger.info("Finished training")
 

@@ -83,3 +83,28 @@ def test_predict_chunking_matches_single_dispatch(blob_dataset, fast_settings):
     finally:
         clf.PREDICT_CHUNK = old
     np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-6)
+
+
+def test_fit_chunking_matches_single_dispatch(blob_dataset, fast_settings):
+    """Epoch-chunked fit (bounded-duration dispatches, the CAN-scale
+    watchdog fix) must produce exactly the same trained weights as one
+    monolithic scan: epoch keys are pre-split once and sliced."""
+    import numpy as np
+
+    from cvaegan_tpu import Classifier
+
+    fast_settings.classifier.epochs = 4
+    x = np.asarray(blob_dataset.te_samples, np.float32)
+    old = Classifier.FIT_STEPS_PER_DISPATCH
+    try:
+        Classifier.FIT_STEPS_PER_DISPATCH = 10 ** 9  # one dispatch
+        whole = Classifier("fitwhole")
+        whole.fit(blob_dataset)
+        Classifier.FIT_STEPS_PER_DISPATCH = 15  # 1 epoch (15 batches) each
+        chunked = Classifier("fitchunk")
+        chunked.fit(blob_dataset)
+    finally:
+        Classifier.FIT_STEPS_PER_DISPATCH = old
+    np.testing.assert_allclose(
+        chunked.predict(x, use_prob=True), whole.predict(x, use_prob=True),
+        rtol=1e-6, atol=1e-6)
