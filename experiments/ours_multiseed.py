@@ -136,7 +136,7 @@ def main():
                 except Exception as e:
                     traceback.print_exc()
                     rec = {"framework": "cvaegan_tpu", "model": model_name,
-                           "seed": seed, "mode": mode,
+                           "seed": seed, "mode": mode_tag,
                            "error": f"{type(e).__name__}: {e}"}
                 with open(out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
