@@ -110,6 +110,16 @@ def main() -> None:
     yield_n = sum(
         len(m.generate_qualified_samples(c, 50)) for c in range(ds.label_num)
     )
+    # Strict mode (reference parity) has documented seed-to-seed yield
+    # variance (BASELINE.md); balanced mode is the robust scheme — report
+    # both so the single JSON line carries the stable number too.
+    m_bal = CVAEGAN(balanced_mode=True)
+    m_bal.verbose = False
+    m_bal.fit(ds)
+    yield_bal = sum(
+        len(m_bal.generate_qualified_samples(c, 50))
+        for c in range(ds.label_num)
+    )
 
     print(json.dumps({
         "metric": "cvae_gan_train_steps_per_sec_per_chip",
@@ -121,6 +131,7 @@ def main() -> None:
         "gen_vs_baseline": round(max(gen_xla, gen_fused)
                                  / REF_CPU_GEN_PER_SEC, 2),
         "qualified_yield": f"{yield_n}/250",
+        "qualified_yield_balanced": f"{yield_bal}/250",
     }))
 
 
