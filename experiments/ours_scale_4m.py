@@ -71,6 +71,12 @@ def main():
                                         / "ours_scale_4m.json"))
     p.add_argument("--gen-per-class", type=int, default=1000,
                    help="qualified samples requested per minority class")
+    p.add_argument("--seed", type=int, default=0,
+                   help="model/pipeline seed (corpus stays seed-0, like a "
+                        "fixed real capture); with --append, one JSON line "
+                        "is appended per run for multi-seed stats")
+    p.add_argument("--append", action="store_true",
+                   help="append a JSON line to --out instead of overwriting")
     args = p.parse_args()
 
     import sys
@@ -83,7 +89,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     rec = {"framework": "cvaegan_tpu", "frames": args.frames,
-           "device": str(jax.devices()[0])}
+           "seed": args.seed, "device": str(jax.devices()[0])}
 
     root = pathlib.Path(args.data)
     if not (root / "x_train.csv").exists():
@@ -92,8 +98,11 @@ def main():
         rec["emit_seconds"] = round(time.time() - t0, 1)
         print("corpus emitted:", rec.get("emit_seconds"), "s", flush=True)
 
+    from cvaegan_tpu.core import config as config_lib
     from cvaegan_tpu.data.tabular import TabularDataset
     from cvaegan_tpu import CVAEGAN, Classifier
+
+    config_lib.settings.seed = args.seed  # downstream classifier RNG
 
     t0 = time.time()
     ds = TabularDataset.from_csv_dir(root).renormalized()
@@ -103,7 +112,7 @@ def main():
           flush=True)
 
     t0 = time.time()
-    m = CVAEGAN(seed=0, balanced_mode=True)
+    m = CVAEGAN(seed=args.seed, balanced_mode=True)
     m.fit(ds)
     rec["fit_seconds"] = round(time.time() - t0, 1)
     print("fit:", rec["fit_seconds"], "s", flush=True)
@@ -150,7 +159,11 @@ def main():
 
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(rec, indent=1))
+    if args.append:
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    else:
+        out.write_text(json.dumps(rec, indent=1))
     print(json.dumps(rec), flush=True)
 
 
