@@ -72,6 +72,7 @@ def run_balance_pipeline(
     settings = settings or config_lib.settings
     seed = settings.seed if seed is None else seed
     out_dir = Path(out_dir) if out_dir else Path.cwd()
+    out_dir.mkdir(parents=True, exist_ok=True)
     t_start = time.time()
 
     ds = dataset.renormalized()
@@ -210,6 +211,10 @@ def make_cli(description: str):
     p.add_argument("--balanced-mode", action="store_true",
                    help="class-balanced mixed training rounds (beyond-"
                         "parity fast mode, conditional models only)")
+    p.add_argument("--no-warm-start", action="store_true",
+                   help="train a FRESH downstream classifier instead of "
+                        "warm-starting from the GAN's companion (the "
+                        "documented SNGAN fix, BASELINE.md)")
     return p
 
 

@@ -25,6 +25,7 @@ def main():
         out_dir=args.out_dir,
         confidence_threshold=args.confidence_threshold,
         balanced_mode=args.balanced_mode,
+        warm_start=not args.no_warm_start,
         generation_mode="tmg",
     )
 
