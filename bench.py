@@ -63,13 +63,17 @@ def _gen_rate(m, fused: bool) -> float:
     n_short, n_long = 50, 550
     jax.device_get(fn(m.state, key, n=n_short))  # compile warmups
     jax.device_get(fn(m.state, key, n=n_long))
-    t0 = time.perf_counter()
-    jax.device_get(fn(m.state, key, n=n_short))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(fn(m.state, key, n=n_long))
-    t_long = time.perf_counter() - t0
-    return (n_long - n_short) * GEN_BATCH / max(t_long - t_short, 1e-9)
+    for _ in range(3):  # host jitter can invert the two-point delta; retry
+        t0 = time.perf_counter()
+        jax.device_get(fn(m.state, key, n=n_short))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(fn(m.state, key, n=n_long))
+        t_long = time.perf_counter() - t0
+        if t_long > t_short:
+            return (n_long - n_short) * GEN_BATCH / (t_long - t_short)
+    # conservative fallback: single-point rate incl. dispatch overhead
+    return n_long * GEN_BATCH / t_long
 
 
 def main() -> None:

@@ -33,11 +33,11 @@ overlaps with the (asynchronous) transfer of shard i+1.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -1e30
 
@@ -116,15 +116,18 @@ def ring_attention(
     """Exact softmax(q kᵀ/√d) v with the sequence axis sharded over
     `axis` of `mesh`.
 
-    q, k, v: [bh, seq, d] global arrays (seq must divide the axis size).
-    Returns [bh, seq, d] (plus per-row entropy [bh, seq] when
-    `with_entropy`), numerically identical to the dense oracle up to
-    float32 reduction order.
+    q, k, v: [bh, seq, d] global arrays (seq must be a multiple of the
+    ring size — pad the sequence up to one if needed). Returns
+    [bh, seq, d] (plus per-row entropy [bh, seq] when `with_entropy`),
+    numerically identical to the dense oracle up to float32 reduction
+    order.
     """
     bh, seq, d = q.shape
     n = mesh.shape[axis]
     if seq % n:
-        raise ValueError(f"seq {seq} must divide ring size {n}")
+        raise ValueError(
+            f"ring size {n} must divide seq {seq} — pad seq to a "
+            f"multiple of {n}")
 
     spec = P(None, axis, None)
     ent_spec = P(None, axis)

@@ -67,8 +67,13 @@ def run_one(model_name: str, seed: int, fixture, balanced: bool,
         generation_mode=gen_mode, balanced_mode=balanced,
         confidence_threshold=threshold, warm_start=warm_start,
     )
-    needed = 1335 if gen_mode != "unconditional" else 900
-    generated = len(r["augmented"].tr_samples) - 900
+    counts = np.bincount(np.asarray(ds.tr_labels))
+    n_train = int(counts.sum())
+    # conditional schemes top every class up to the majority count;
+    # the unconditional (vae_gan) scheme adds 1x the train size
+    needed = (int(counts.max() * len(counts) - counts.sum())
+              if gen_mode != "unconditional" else n_train)
+    generated = len(r["augmented"].tr_samples) - n_train
     mode = "balanced" if balanced else "strict"
     if not warm_start:
         mode += "+fresh_clf"
@@ -105,12 +110,13 @@ def main():
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     done = set()
-    if out.exists():  # resume support
+    if out.exists():  # resume support; errored runs are NOT done — retry
         for line in out.read_text().splitlines():
             try:
                 r = json.loads(line)
-                done.add((r["model"], r["seed"], r["mode"],
-                          r.get("threshold")))
+                if "error" not in r:
+                    done.add((r["model"], r["seed"], r["mode"],
+                              r.get("threshold")))
             except (json.JSONDecodeError, KeyError):
                 pass
 

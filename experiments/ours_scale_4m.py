@@ -108,6 +108,13 @@ def main():
     ds = TabularDataset.from_csv_dir(root).renormalized()
     rec["load_seconds"] = round(time.time() - t0, 1)
     rec["train_rows"] = int(len(ds.tr_samples))
+    expected = int(sum(int(args.frames * f) for f in
+                       [0.75, 0.10, 0.075, 0.05, 0.025]) * 0.9)
+    if abs(rec["train_rows"] - expected) > max(10, expected // 100):
+        raise SystemExit(
+            f"stale corpus in {root}: {rec['train_rows']} train rows but "
+            f"--frames {args.frames} implies ~{expected}; point --data at "
+            "a fresh dir or delete the old CSVs")
     print("loaded:", rec["train_rows"], "rows in", rec["load_seconds"], "s",
           flush=True)
 

@@ -187,11 +187,12 @@ def main():
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     done = set()
-    if out.exists():  # resume support
+    if out.exists():  # resume support; errored runs are NOT done — retry
         for line in out.read_text().splitlines():
             try:
                 r = json.loads(line)
-                done.add((r["model"], r["seed"]))
+                if "error" not in r:
+                    done.add((r["model"], r["seed"]))
             except (json.JSONDecodeError, KeyError):
                 pass
 

@@ -8,7 +8,9 @@ Stages timed (mirroring BASELINE.md's scale table):
   3. `_divide_samples` — the reference's O(n^2) per-class torch.cat
      (timed standalone; fit() repeats it internally)
   4. CVAEGAN.fit (500 epochs; step count is dataset-size independent)
-  5. 5000 qualified samples (1000 per minority class, time-capped)
+  5. 4000 qualified samples (1000 per each of the 4 non-majority
+     classes; best-effort time cap, checked BETWEEN classes — a single
+     class's rejection loop can overrun the deadline)
   6. downstream classifier fit (100 epochs x ~2500 batches) + test
 
 Usage:
@@ -89,9 +91,10 @@ def main():
     rec["fit_seconds"] = round(time.time() - t0, 1)
     print("fit:", rec["fit_seconds"], "s", flush=True)
 
-    # stage 5: 5000 qualified samples (1000 per non-majority class),
-    # wall-clock capped — the reference's 10-at-a-time rejection loop may
-    # yield ~nothing at threshold 0.5.
+    # stage 5: 4000 qualified samples (1000 per non-majority class),
+    # wall-clock capped between classes (the reference's 10-at-a-time
+    # rejection loop is not interruptible mid-class) — it may yield
+    # ~nothing at threshold 0.5.
     t0 = time.time()
     got = 0
     deadline = t0 + args.gen_timeout

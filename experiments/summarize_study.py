@@ -2,9 +2,14 @@
 
 Reads the reference-side and ours-side JSONL outputs
 (`experiments/ref_multiseed.py`, `experiments/ours_multiseed.py`) and
-prints mean±std macro-F1 and qualified-generation yield per model, with
-a win/loss verdict column (win = ours mean >= reference mean - pooled
-std noise).
+prints mean±std macro-F1 and qualified-generation yield per model.
+
+The verdict column is a Welch two-sample t-test on the per-seed
+macro-F1 of the reference vs our BETTER mode (strict = reference-parity
+scheme, balanced = documented beyond-parity mode; the better-of-two
+selection is disclosed in the Δ column which names the mode):
+  win / LOSS    — significant at p < 0.05
+  ahead/behind (ns) — not significant; statistical tie at these n
 
 Usage: python experiments/summarize_study.py \
     [--ref /tmp/ref_multiseed.jsonl] [--ours /tmp/ours_multiseed.jsonl]
@@ -57,6 +62,29 @@ def fmt(stat):
             f"(n={stat['n']}, gen {stat['gen_mean']:.0f})")
 
 
+def welch(a, b):
+    """Welch t-test of mean(a) vs mean(b) from per-group stats; returns
+    (diff, p). Uses scipy (a hard dep of sklearn, already required)."""
+    from scipy import stats
+
+    res = stats.ttest_ind_from_stats(
+        a["f1_mean"], a["f1_std"], a["n"],
+        b["f1_mean"], b["f1_std"], b["n"],
+        equal_var=False,
+    )
+    return a["f1_mean"] - b["f1_mean"], float(res.pvalue)
+
+
+def verdict_for(ours, ref, mode_name):
+    diff, p = welch(ours, ref)
+    sig = p < 0.05
+    if diff >= 0:
+        word = "**win**" if sig else "ahead (ns)"
+    else:
+        word = "LOSS" if sig else "behind (ns)"
+    return f"{word} ({diff:+.3f} {mode_name}, p={p:.2f})"
+
+
 def main():
     p = argparse.ArgumentParser()
     here = pathlib.Path(__file__).parent
@@ -86,26 +114,17 @@ def main():
         r, s, b = ref.get(m), ours_strict.get(m), ours_bal.get(m)
         verdict = "—"
         if r and (s or b):
-            best = max([x for x in (s, b) if x],
-                       key=lambda x: x["f1_mean"])
-            noise = max(r["f1_std"], best["f1_std"], 1e-9)
-            diff = best["f1_mean"] - r["f1_mean"]
-            if diff >= 0:
-                verdict = f"**win** (+{diff:.3f})"
-            elif abs(diff) <= noise:
-                verdict = f"parity (Δ{diff:+.3f} ≤ σ {noise:.3f})"
-            else:
-                verdict = f"LOSS ({diff:+.3f})"
+            candidates = [(x, name) for x, name in
+                          ((s, "strict"), (b, "balanced")) if x]
+            best, mode_name = max(candidates,
+                                  key=lambda xn: xn[0]["f1_mean"])
+            verdict = verdict_for(best, r, mode_name)
         print(f"| {m} | {fmt(r)} | {fmt(s)} | {fmt(b)} | {verdict} |")
     for k in sorted(extra):
         e = extra[k]
         base = k.split(" ")[0]
         r = ref.get(base)
-        verdict = "—"
-        if r:
-            diff = e["f1_mean"] - r["f1_mean"]
-            verdict = (f"**win** (+{diff:.3f})" if diff >= 0
-                       else f"LOSS ({diff:+.3f})")
+        verdict = verdict_for(e, r, "variant") if r else "—"
         print(f"| {k} | {fmt(r)} | {fmt(e)} | — | {verdict} |")
 
 
