@@ -224,6 +224,16 @@ class Classifier:
             return logits
         return np.argmax(logits, axis=1)
 
+    def predict_stream(self, chunks, use_prob: bool = False) -> np.ndarray:
+        """Predict over an iterable of [rows, features] chunks (e.g.
+        `data.streaming.StreamingCSV`) without ever holding the feature
+        matrix in memory — only the predictions accumulate. Identical
+        output to `predict(concatenate(chunks))`."""
+        outs = [self.predict(chunk, use_prob=use_prob) for chunk in chunks]
+        if not outs:
+            raise ValueError("predict_stream: empty chunk iterable")
+        return np.concatenate(outs, axis=0)
+
     def get_feature_importance(self):
         """Mean |W| of the first dense layer per input feature (reference
         `src/models/cvae_gan_models.py:285-292`)."""

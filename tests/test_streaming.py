@@ -1,0 +1,126 @@
+"""Streaming-ingestion subsystem: native chunk reader parity, one-pass
+statistics, device feed, and streaming inference."""
+
+import numpy as np
+import pytest
+
+
+def _write_csv(path, array):
+    with open(path, "w") as f:
+        for row in array:
+            f.write(",".join(f"{v:.6g}" for v in row) + "\n")
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(1000, 7)).astype(np.float32)
+    p = tmp_path / "x.csv"
+    _write_csv(p, data)
+    return p, data
+
+
+def test_chunks_concatenate_to_whole_file(csv_file):
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    path, data = csv_file
+    chunks = list(StreamingCSV(path, chunk_rows=128))
+    assert len(chunks) == 8  # 7 full + ragged 104-row tail
+    assert [len(c) for c in chunks[:-1]] == [128] * 7
+    got = np.concatenate(chunks, axis=0)
+    np.testing.assert_allclose(got, data, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_matches_whole_file_loader(csv_file):
+    """Same cell semantics as data.tabular.load_csv (native or pandas)."""
+    from cvaegan_tpu.data.streaming import StreamingCSV
+    from cvaegan_tpu.data.tabular import load_csv
+
+    path, _ = csv_file
+    got = np.concatenate(list(StreamingCSV(path, chunk_rows=100)), axis=0)
+    np.testing.assert_allclose(got, load_csv(path), rtol=1e-6, atol=1e-7)
+
+
+def test_garbage_cells_coerce_to_zero(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1.5,abc,3\nnan,2.5,\n7,8,9")  # no trailing newline
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    got = np.concatenate(list(StreamingCSV(p, chunk_rows=2)), axis=0)
+    np.testing.assert_allclose(
+        got, [[1.5, 0, 3], [0, 2.5, 0], [7, 8, 9]])
+
+
+def test_chunk_exactly_divides_rows(tmp_path):
+    data = np.arange(12, dtype=np.float32).reshape(6, 2)
+    p = tmp_path / "even.csv"
+    _write_csv(p, data)
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    chunks = list(StreamingCSV(p, chunk_rows=3))
+    assert [len(c) for c in chunks] == [3, 3]
+    np.testing.assert_allclose(np.concatenate(chunks), data)
+
+
+def test_early_close_releases_stream(csv_file):
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    path, _ = csv_file
+    with StreamingCSV(path, chunk_rows=64) as stream:
+        it = iter(stream)
+        next(it)  # consume one chunk, then abandon mid-stream
+    # closing twice is a no-op
+    stream.close()
+
+
+def test_stream_minmax_matches_numpy(csv_file):
+    from cvaegan_tpu.data.streaming import stream_minmax
+
+    path, data = csv_file
+    lo, hi = stream_minmax(path, chunk_rows=77)
+    np.testing.assert_allclose(lo, data.min(axis=0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hi, data.max(axis=0), rtol=1e-5, atol=1e-6)
+
+
+def test_load_csv_streamed_device_array(csv_file):
+    import jax.numpy as jnp
+
+    from cvaegan_tpu.data.streaming import load_csv_streamed
+
+    path, data = csv_file
+    arr = load_csv_streamed(path, chunk_rows=300)
+    assert isinstance(arr, jnp.ndarray)
+    np.testing.assert_allclose(np.asarray(arr), data, rtol=1e-5, atol=1e-6)
+
+
+def test_prefetch_to_device_preserves_order(csv_file):
+    from cvaegan_tpu.data.streaming import StreamingCSV, prefetch_to_device
+
+    path, data = csv_file
+    chunks = list(prefetch_to_device(StreamingCSV(path, chunk_rows=256),
+                                     size=2))
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=0)
+    np.testing.assert_allclose(got, data, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_stream_matches_predict(blob_dataset, fast_settings):
+    from cvaegan_tpu import Classifier
+
+    clf = Classifier("stream")
+    clf.fit(blob_dataset)
+    x = np.asarray(blob_dataset.te_samples, np.float32)
+    whole = clf.predict(x, use_prob=True)
+    chunked = clf.predict_stream(
+        (x[i:i + 32] for i in range(0, len(x), 32)), use_prob=True)
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-6)
+
+
+def test_streaming_pandas_fallback_parity(csv_file, monkeypatch):
+    """The pandas chunk fallback must match the native reader."""
+    from cvaegan_tpu.data import streaming
+
+    path, data = csv_file
+    native = np.concatenate(list(streaming.StreamingCSV(path, 100)), axis=0)
+    monkeypatch.setattr(streaming, "_get_lib", lambda: None)
+    fallback = np.concatenate(list(streaming.StreamingCSV(path, 100)), axis=0)
+    np.testing.assert_allclose(fallback, native, rtol=1e-6, atol=1e-7)
