@@ -190,7 +190,11 @@ class GenerativeTrainer:
 
     def fit(self, dataset) -> None:
         self._prepare(dataset)
-        epochs = self.gan_cfg.epochs
+        self._fit_prepared(self.gan_cfg.epochs)
+
+    def _fit_prepared(self, epochs: int) -> None:
+        """Run the jitted epoch loop against the already-built
+        `self._data`/`self.state` (shared by `fit` and `fit_streamed`)."""
         chunk = max(1, min(self.epoch_chunk, epochs))
         run_chunk = self._chunk_runner()
         state = self.state
@@ -225,6 +229,99 @@ class GenerativeTrainer:
         self.state = state
         # Invalidate jitted generation closures captured over the old state.
         self._gen_cache.clear()
+
+    def fit_streamed(
+        self,
+        x_csv,
+        y_csv,
+        window_rows: int = 1_000_000,
+        epochs_per_window: int = 50,
+        normalize: bool = True,
+    ) -> int:
+        """Out-of-core training for corpora beyond host/device memory.
+
+        Streams the (x, y) CSV pair through fixed-size row windows
+        (`data/streaming.StreamingCSV` — C++ background prefetch, O(window)
+        host memory): each window is uploaded, trained for
+        `epochs_per_window` with PERSISTENT network/optimizer state, then
+        replaced by the next, so total optimizer work = windows ×
+        epochs_per_window × the per-epoch schedule. Returns the number of
+        windows consumed.
+
+        Shape-stability: windows are padded to exactly `window_rows` rows
+        (wrap-around repeats) and the class-index table to a fixed width,
+        so every window — including a ragged final one — reuses ONE
+        compiled program. Conditional sampling is exact under padding
+        (the index table only addresses real rows); the unconditional
+        family's uniform sampling double-weights wrapped rows in a
+        partial final window (documented bias, vanishing for
+        window_rows >> remainder).
+
+        y may be one-hot (reference CSV format, width = label_num) or a
+        single integer column (label_num inferred from the first window).
+        Every window must contain every class — grow `window_rows` (or
+        shuffle the corpus) otherwise.
+
+        `normalize` (default): a first one-pass stream computes global
+        per-column min/max and every window is minmax-scaled into [0, 1]
+        — the streamed analog of `TabularDataset.renormalized()` that
+        the in-memory pipelines apply (generators emit sigmoid/[0,1]
+        outputs; unscaled raw features blow the reconstruction loss up).
+        """
+        from cvaegan_tpu.data.streaming import StreamingCSV, stream_minmax
+
+        lo = scale = None
+        if normalize:
+            lo, hi = stream_minmax(x_csv, window_rows)
+            scale = hi - lo
+            scale[scale == 0] = 1.0
+
+        n_windows = 0
+        for xw, yw in zip(StreamingCSV(x_csv, window_rows),
+                          StreamingCSV(y_csv, window_rows)):
+            if len(xw) != len(yw):
+                raise ValueError(
+                    f"x/y row mismatch in window {n_windows}: "
+                    f"{len(xw)} vs {len(yw)}")
+            if normalize:
+                xw = (xw - lo) / scale
+            labels = (yw.argmax(axis=1) if yw.shape[1] > 1
+                      else yw[:, 0]).astype(np.int32)
+            if self.state is None and n_windows == 0:
+                self.feature_num = int(xw.shape[1])
+                self.label_num = (int(yw.shape[1]) if yw.shape[1] > 1
+                                  else int(labels.max()) + 1)
+            if int(xw.shape[1]) != self.feature_num:
+                raise ValueError(
+                    f"window {n_windows}: {xw.shape[1]} features, "
+                    f"model built for {self.feature_num}")
+            counts = np.bincount(labels, minlength=self.label_num)
+            if (counts == 0).any():
+                missing = np.nonzero(counts == 0)[0].tolist()
+                raise ValueError(
+                    f"window {n_windows} is missing classes {missing} — "
+                    "increase window_rows or shuffle the corpus")
+            # Index built from the UNPADDED labels: conditional sampling
+            # only ever addresses real rows, exactly.
+            index = ClassIndex.build(labels, self.label_num,
+                                     pad_to=window_rows)
+            n = len(xw)
+            if n < window_rows:  # pad by wrap-around repetition
+                reps = np.arange(window_rows - n) % n
+                xw = np.concatenate([xw, xw[reps]])
+                labels = np.concatenate([labels, labels[reps]])
+            self._data = {
+                "samples": jnp.asarray(xw),
+                "labels": jnp.asarray(labels),
+                "index": index,
+            }
+            if self.state is None:
+                self.state = self._build(self._next_key())
+            self._fit_prepared(epochs_per_window)
+            n_windows += 1
+        if n_windows == 0:
+            raise ValueError(f"empty corpus: {x_csv}")
+        return n_windows
 
     # ------------------------------------------------------------ generation
     def _generator_forward(self, state, z, labels, key):

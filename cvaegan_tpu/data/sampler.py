@@ -30,11 +30,18 @@ class ClassIndex:
     counts: jnp.ndarray  # [label_num] int32 true class sizes
 
     @classmethod
-    def build(cls, labels: np.ndarray, label_num: int) -> "ClassIndex":
+    def build(cls, labels: np.ndarray, label_num: int,
+              pad_to: int | None = None) -> "ClassIndex":
+        """`pad_to` fixes the table width (>= the largest class) so
+        windows of varying class mixes share ONE compiled program — the
+        out-of-core `fit_streamed` path depends on this shape stability."""
         labels = np.asarray(labels)
         counts = np.bincount(labels, minlength=label_num).astype(np.int32)
         max_count = max(int(counts.max()), 1)
-        table = np.zeros((label_num, max_count), dtype=np.int32)
+        width = max_count if pad_to is None else int(pad_to)
+        if width < max_count:
+            raise ValueError(f"pad_to {width} < largest class {max_count}")
+        table = np.zeros((label_num, width), dtype=np.int32)
         for c in range(label_num):
             idx = np.nonzero(labels == c)[0].astype(np.int32)
             table[c, : len(idx)] = idx
