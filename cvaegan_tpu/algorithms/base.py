@@ -276,13 +276,19 @@ class GenerativeTrainer:
             scale = hi - lo
             scale[scale == 0] = 1.0
 
+        import itertools
+
         n_windows = 0
-        for xw, yw in zip(StreamingCSV(x_csv, window_rows),
-                          StreamingCSV(y_csv, window_rows)):
-            if len(xw) != len(yw):
+        _END = object()  # zip() would silently drop the longer stream's tail
+        for xw, yw in itertools.zip_longest(StreamingCSV(x_csv, window_rows),
+                                            StreamingCSV(y_csv, window_rows),
+                                            fillvalue=_END):
+            if xw is _END or yw is _END or len(xw) != len(yw):
+                nx = "exhausted" if xw is _END else len(xw)
+                ny = "exhausted" if yw is _END else len(yw)
                 raise ValueError(
-                    f"x/y row mismatch in window {n_windows}: "
-                    f"{len(xw)} vs {len(yw)}")
+                    f"x/y row mismatch at window {n_windows}: x {nx} rows "
+                    f"vs y {ny} — the CSV pair is misaligned")
             if normalize:
                 xw = (xw - lo) / scale
             labels = (yw.argmax(axis=1) if yw.shape[1] > 1
@@ -295,6 +301,14 @@ class GenerativeTrainer:
                 raise ValueError(
                     f"window {n_windows}: {xw.shape[1]} features, "
                     f"model built for {self.feature_num}")
+            if labels.size and (labels.min() < 0
+                                or labels.max() >= self.label_num):
+                raise ValueError(
+                    f"window {n_windows} holds class id "
+                    f"{int(labels.max())} outside the model's "
+                    f"{self.label_num} classes (integer-label corpora "
+                    "infer label_num from the FIRST window — use one-hot "
+                    "y or ensure every class appears early)")
             counts = np.bincount(labels, minlength=self.label_num)
             if (counts == 0).any():
                 missing = np.nonzero(counts == 0)[0].tolist()

@@ -12,32 +12,16 @@ from __future__ import annotations
 
 import ctypes
 import pathlib
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
+from cvaegan_tpu.data._native_build import load_native
+
 _SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "csv_loader.cpp"
-_SO = _SRC.with_suffix(".so")
-_LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_BUILD_FAILED = False
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    global _BUILD_FAILED
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", str(_SRC), "-o", str(_SO),
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, FileNotFoundError):
-            _BUILD_FAILED = True
-            return None
-    lib = ctypes.CDLL(str(_SO))
+def _configure(lib: ctypes.CDLL) -> None:
     lib.csv_dims.restype = ctypes.c_int
     lib.csv_dims.argtypes = [
         ctypes.c_char_p,
@@ -52,16 +36,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
-    return lib
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB
-    if _LIB is None and not _BUILD_FAILED:
-        with _LOCK:
-            if _LIB is None and not _BUILD_FAILED:
-                _LIB = _build()
-    return _LIB
+    return load_native(_SRC, _configure)
 
 
 def available() -> bool:

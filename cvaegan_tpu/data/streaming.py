@@ -26,33 +26,18 @@ cell coerced to float, non-numeric/empty/NaN -> 0.0).
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
-import subprocess
-import threading
 from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 
+from cvaegan_tpu.data._native_build import load_native
+
 _SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "stream_reader.cpp"
-_SO = _SRC.with_suffix(".so")
-_LOCK = threading.Lock()
-_LIB: Optional[ctypes.CDLL] = None
-_BUILD_FAILED = False
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    global _BUILD_FAILED
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", str(_SRC), "-o", str(_SO),
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, FileNotFoundError):
-            _BUILD_FAILED = True
-            return None
-    lib = ctypes.CDLL(str(_SO))
+def _configure(lib: ctypes.CDLL) -> None:
     lib.stream_open.restype = ctypes.c_int64
     lib.stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.stream_cols.restype = ctypes.c_int64
@@ -65,15 +50,10 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     lib.stream_close.restype = None
     lib.stream_close.argtypes = [ctypes.c_int64]
-    return lib
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB
-    with _LOCK:
-        if _LIB is None and not _BUILD_FAILED:
-            _LIB = _build()
-        return _LIB
+    return load_native(_SRC, _configure)
 
 
 class StreamingCSV:
@@ -88,7 +68,9 @@ class StreamingCSV:
     def __init__(self, path, chunk_rows: int = 262_144):
         self.path = str(path)
         self.chunk_rows = int(chunk_rows)
-        self._handle: Optional[int] = None
+        #: handles of this object's LIVE iterators (each `iter()` opens
+        #: its own native stream; `close()` releases them all)
+        self._handles: set = set()
         self._lib = _get_lib()
 
     # ------------------------------------------------------------ native
@@ -96,8 +78,10 @@ class StreamingCSV:
         lib = self._lib
         handle = lib.stream_open(self.path.encode(), self.chunk_rows)
         if handle == 0:
-            raise FileNotFoundError(f"stream_open failed for {self.path}")
-        self._handle = handle
+            if not os.path.exists(self.path):
+                raise FileNotFoundError(self.path)
+            raise ValueError(f"empty csv: {self.path}")
+        self._handles.add(handle)
         cols = lib.stream_cols(handle)
         buf = np.empty((self.chunk_rows, cols), dtype=np.float32)
         rows = ctypes.c_int64(0)
@@ -109,17 +93,32 @@ class StreamingCSV:
                 if rc == 1:
                     break
                 if rc != 0:
-                    raise IOError(f"stream_next error on {self.path}")
+                    raise IOError(
+                        f"I/O error mid-stream on {self.path} — corpus "
+                        "would be truncated")
                 yield buf[: rows.value].copy()
         finally:
-            self.close()
+            if handle in self._handles:
+                self._handles.discard(handle)
+                lib.stream_close(handle)
 
     # ----------------------------------------------------------- fallback
     def _iter_pandas(self) -> Iterator[np.ndarray]:
         import pandas as pd
 
-        reader = pd.read_csv(self.path, header=None,
-                             chunksize=self.chunk_rows)
+        # Schema = first non-empty line, like the native reader; rows
+        # longer than it are truncated (python engine + on_bad_lines
+        # callable), shorter ones NaN-padded then zero-filled — keeping
+        # both backends cell-identical.
+        with open(self.path) as f:
+            first = next((ln for ln in f if ln.strip()), None)
+        if first is None:
+            raise ValueError(f"empty csv: {self.path}")
+        cols = first.count(",") + 1
+        reader = pd.read_csv(
+            self.path, header=None, names=range(cols),
+            chunksize=self.chunk_rows, engine="python",
+            on_bad_lines=lambda row: row[:cols])
         for frame in reader:
             frame = frame.apply(pd.to_numeric, errors="coerce").fillna(0)
             yield frame.to_numpy(dtype=np.float32)
@@ -130,9 +129,9 @@ class StreamingCSV:
         return self._iter_pandas()
 
     def close(self) -> None:
-        if self._handle is not None and self._lib is not None:
-            self._lib.stream_close(self._handle)
-            self._handle = None
+        if self._lib is not None:
+            while self._handles:
+                self._lib.stream_close(self._handles.pop())
 
     def __enter__(self) -> "StreamingCSV":
         return self

@@ -168,6 +168,16 @@ void producer_loop(Stream* s) {
     }
   }
   if (aborted) return;
+  if (s->file.bad()) {
+    // Mid-file I/O failure is an ERROR, not EOF — reporting it as a
+    // clean end would silently truncate the corpus downstream.
+    {
+      std::lock_guard<std::mutex> lock(s->mu);
+      s->error = true;
+    }
+    s->cv_consumer.notify_all();
+    return;
+  }
   if (!carry.empty()) {  // final line without trailing newline
     if (!emit_line(carry.data(), carry.data() + carry.size())) return;
   }
@@ -197,9 +207,15 @@ int64_t stream_open(const char* path, int64_t chunk_rows) {
   s->file.open(path, std::ios::binary);
   if (!s->file) return 0;
 
-  // Column count from the first line (stream rewound afterwards).
+  // Column count from the first NON-EMPTY line (the producer loop skips
+  // blank lines, so this is the line that defines the schema); stream
+  // rewound afterwards. All-blank/empty files fail open.
   std::string first;
-  if (!std::getline(s->file, first) || first.empty()) return 0;
+  while (std::getline(s->file, first)) {
+    if (!first.empty() && first != "\r") break;
+    first.clear();
+  }
+  if (first.empty() || first == "\r") return 0;
   s->cols = 1;
   for (char c : first) {
     if (c == ',') ++s->cols;

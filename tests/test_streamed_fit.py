@@ -81,6 +81,39 @@ def test_fit_streamed_feature_mismatch_raises(tmp_path, fast_settings):
         m.fit_streamed(x2, y2, window_rows=200, epochs_per_window=1)
 
 
+def test_fit_streamed_xy_length_mismatch_raises(tmp_path, fast_settings):
+    """A y file shorter than x by a whole window must error, not silently
+    truncate the corpus (zip would drop the tail)."""
+    from cvaegan_tpu import CVAEGAN
+
+    x_csv, y_csv = _write_corpus(tmp_path, rows=300, classes=3)
+    y = np.loadtxt(y_csv, delimiter=",")
+    np.savetxt(y_csv, y[:150], delimiter=",", fmt="%d")  # drop window 2
+    m = CVAEGAN(seed=0)
+    m.verbose = False
+    with pytest.raises(ValueError, match="misaligned"):
+        m.fit_streamed(x_csv, y_csv, window_rows=150, epochs_per_window=1)
+
+
+def test_fit_streamed_late_class_id_raises(tmp_path, fast_settings):
+    """Integer-label corpora where a class id appears only after the
+    first window must fail loudly (label_num was inferred too small)."""
+    from cvaegan_tpu import CGAN
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    # window 0: classes 0-2; window 1: classes 0-3 (3 is new)
+    y = np.concatenate([np.arange(150) % 3, np.arange(150) % 4])
+    x = rng.random((300, 5)).astype(np.float32)
+    x_csv, y_csv = tmp_path / "x.csv", tmp_path / "y.csv"
+    np.savetxt(x_csv, x, delimiter=",", fmt="%.6g")
+    np.savetxt(y_csv, y[:, None], delimiter=",", fmt="%d")
+    m = CGAN(seed=0)
+    m.verbose = False
+    with pytest.raises(ValueError, match="outside the model"):
+        m.fit_streamed(x_csv, y_csv, window_rows=150, epochs_per_window=1)
+
+
 def test_fit_streamed_unconditional_family(tmp_path, fast_settings):
     """The uniform-sampling (GAN) family trains through windows too."""
     from cvaegan_tpu import GAN

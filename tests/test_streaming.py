@@ -124,3 +124,56 @@ def test_streaming_pandas_fallback_parity(csv_file, monkeypatch):
     monkeypatch.setattr(streaming, "_get_lib", lambda: None)
     fallback = np.concatenate(list(streaming.StreamingCSV(path, 100)), axis=0)
     np.testing.assert_allclose(fallback, native, rtol=1e-6, atol=1e-7)
+
+
+def test_ragged_rows_parity_both_backends(tmp_path, monkeypatch):
+    """Long rows truncate to the first line's schema, short rows
+    zero-pad — identically on native and pandas backends."""
+    from cvaegan_tpu.data import streaming
+
+    p = tmp_path / "ragged.csv"
+    p.write_text("1,2\n3,4,5\n6\n")
+    expect = [[1, 2], [3, 4], [6, 0]]
+    native = np.concatenate(list(streaming.StreamingCSV(p, 2)), axis=0)
+    np.testing.assert_allclose(native, expect)
+    monkeypatch.setattr(streaming, "_get_lib", lambda: None)
+    fallback = np.concatenate(list(streaming.StreamingCSV(p, 2)), axis=0)
+    np.testing.assert_allclose(fallback, expect)
+
+
+def test_blank_leading_line_skipped(tmp_path):
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    p = tmp_path / "lead.csv"
+    p.write_text("\n1,2,3\n4,5,6\n")
+    got = np.concatenate(list(StreamingCSV(p, 10)), axis=0)
+    np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_empty_csv_raises_value_error(tmp_path):
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(ValueError, match="empty csv"):
+        list(StreamingCSV(p, 10))
+    with pytest.raises(FileNotFoundError):
+        list(StreamingCSV(tmp_path / "nope.csv", 10))
+
+
+def test_two_iterators_are_independent(csv_file):
+    """Each iter() owns its native stream: interleaving two iterators of
+    one StreamingCSV must not cross-close or corrupt either."""
+    from cvaegan_tpu.data.streaming import StreamingCSV
+
+    path, data = csv_file
+    s = StreamingCSV(path, chunk_rows=256)
+    it1, it2 = iter(s), iter(s)
+    a1, b1 = next(it1), next(it2)
+    np.testing.assert_allclose(a1, b1)
+    rest1 = [a1] + list(it1)
+    rest2 = [b1] + list(it2)
+    np.testing.assert_allclose(np.concatenate(rest1), data, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.concatenate(rest2), data, rtol=1e-5,
+                               atol=1e-6)
