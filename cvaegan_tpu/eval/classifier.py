@@ -272,6 +272,41 @@ class Classifier:
         real = (np.asarray(y) > 0).astype(np.int32)
         self._compute_metrics(real, pred)
 
+    def test_streamed(self, x_csv, y_csv, chunk_rows: int = 262_144,
+                      binary: bool = False, transform=None) -> None:
+        """`test`/`binary_test` over a beyond-memory CSV pair: features
+        stream through in O(chunk) host memory; only the integer
+        predictions and labels accumulate. `transform(chunk)` applies
+        the training-time feature scaling (e.g. the minmax closure from
+        the corpus statistics) per chunk; y may be one-hot or a single
+        integer column."""
+        from cvaegan_tpu.data.streaming import StreamingCSV
+
+        import itertools
+
+        preds, reals = [], []
+        _END = object()
+        for i, (xw, yw) in enumerate(itertools.zip_longest(
+                StreamingCSV(x_csv, chunk_rows),
+                StreamingCSV(y_csv, chunk_rows), fillvalue=_END)):
+            if xw is _END or yw is _END or len(xw) != len(yw):
+                raise ValueError(
+                    f"x/y row mismatch at chunk {i} — misaligned CSV pair")
+            if transform is not None:
+                xw = transform(xw)
+            preds.append(self.predict(xw))
+            reals.append((yw.argmax(axis=1) if yw.shape[1] > 1
+                          else yw[:, 0]).astype(np.int32))
+        if not preds:
+            raise ValueError(f"empty corpus: {x_csv}")
+        pred, real = np.concatenate(preds), np.concatenate(reals)
+        if binary:
+            self._compute_metrics((real > 0).astype(np.int32),
+                                  (pred > 0).astype(np.int32))
+        else:
+            self._compute_metrics(real, pred,
+                                  labels=list(range(self.label_num)))
+
     # ------------------------------------------------------------ reports
     def print_metrics(self, decimals: int = 4, print_class_metrics: bool = True):
         """Formatted metric dump (`src/classifier.py:163-208`)."""

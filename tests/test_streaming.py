@@ -115,6 +115,30 @@ def test_predict_stream_matches_predict(blob_dataset, fast_settings):
     np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-6)
 
 
+def test_test_streamed_matches_in_memory(blob_dataset, fast_settings,
+                                         tmp_path):
+    """Streaming evaluation over a CSV pair reproduces test()/
+    binary_test() metrics exactly."""
+    from cvaegan_tpu import Classifier
+
+    clf = Classifier("teststream")
+    clf.fit(blob_dataset)
+    clf.test(blob_dataset)
+    want = dict(clf.metrics)
+    x = np.asarray(blob_dataset.te_samples, np.float32)
+    y = np.asarray(blob_dataset.te_labels)
+    _write_csv(tmp_path / "xt.csv", x)
+    np.savetxt(tmp_path / "yt.csv", y[:, None], delimiter=",", fmt="%d")
+    clf.test_streamed(tmp_path / "xt.csv", tmp_path / "yt.csv",
+                      chunk_rows=32)
+    assert clf.metrics == pytest.approx(want)
+    clf.binary_test(blob_dataset)
+    want_bin = dict(clf.metrics)
+    clf.test_streamed(tmp_path / "xt.csv", tmp_path / "yt.csv",
+                      chunk_rows=32, binary=True)
+    assert clf.metrics == pytest.approx(want_bin)
+
+
 def test_streaming_pandas_fallback_parity(csv_file, monkeypatch):
     """The pandas chunk fallback must match the native reader."""
     from cvaegan_tpu.data import streaming
