@@ -46,16 +46,21 @@ def main():
     p.add_argument("--out", default="/tmp/yield_diag.jsonl")
     p.add_argument("--per-class", type=int, default=2000,
                    help="generated probe samples per class")
+    p.add_argument("--model", default="CVAEGAN",
+                   help="trainer class name (e.g. CVAEGAN, RAIN_GAN) — "
+                        "any conditional model with a companion classifier")
     args = p.parse_args()
 
-    from cvaegan_tpu import CVAEGAN
+    import cvaegan_tpu
+
+    model_cls = getattr(cvaegan_tpu, args.model)
 
     out = pathlib.Path(args.out)
     for seed in args.seeds:
         t0 = time.time()
         ds = load_fixture(
             pathlib.Path(args.fixtures) / f"imb_s{seed}.npz").renormalized()
-        m = CVAEGAN(seed=seed)
+        m = model_cls(seed=seed)
         m.verbose = False
         m.fit(ds)
 
@@ -99,7 +104,7 @@ def main():
         ]
         T_star = float(temps[int(np.argmin(nlls))])
 
-        rec = {"seed": seed, "T_star": T_star,
+        rec = {"model": args.model, "seed": seed, "T_star": T_star,
                "fit_seconds": round(time.time() - t0, 1), "classes": {}}
         for c, logits in logits_by_class.items():
             p1 = softmax(logits, 1.0)
