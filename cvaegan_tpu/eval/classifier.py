@@ -102,29 +102,46 @@ class Classifier:
 
     def fit(self, dataset) -> None:
         x, y = _train_arrays(dataset)
-        n, feature_num = x.shape
-        self._ensure_built(feature_num, int(y.max()) + 1)
+        self._ensure_built(x.shape[1], int(y.max()) + 1)
         self.logger.info("Started training")
+        opt_state = self._make_tx().init(self.params)
+        self._fit_arrays(x, y, self.cfg.epochs, opt_state)
+        self._logits_fn = None
+        self.logger.info("Finished training")
 
+    def _make_tx(self):
+        return optax.adam(self.cfg.lr)
+
+    def _train_runner(self, n: int, feature_num: int):
+        """Jitted multi-epoch trainer taking the data as ARGUMENTS, cached
+        per (rows, features) shape — windows of equal shape (the
+        `fit_streamed` path) share one trace/compile."""
+        cache = getattr(self, "_fit_fn_cache", None)
+        if cache is None:
+            cache = self._fit_fn_cache = {}
         bs = self.cfg.batch_size
         nb = -(-n // bs)  # ceil
         pad = nb * bs - n
-        x_dev = jnp.asarray(x)
-        y_dev = jnp.asarray(y)
-        base_w = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
-        tx = optax.adam(self.cfg.lr)
+        key = (n, feature_num)
+        if key in cache:
+            return cache[key], nb
+        tx = self._make_tx()
         module = self.module
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train(params, mutables, opt_state, ekeys):
+        def train(params, mutables, opt_state, ekeys, x_dev, y_dev, w):
             def epoch(carry, ekey):
                 params, mutables, opt_state = carry
                 kperm, kdrop = jax.random.split(ekey)
                 perm = jax.random.permutation(kperm, n)
-                perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
-                xb = x_dev[perm].reshape(nb, bs, feature_num)
-                yb = y_dev[perm].reshape(nb, bs)
-                wb = base_w.reshape(nb, bs)
+                perm_p = (jnp.concatenate([perm, perm[:pad]]) if pad
+                          else perm)
+                xb = x_dev[perm_p].reshape(nb, bs, feature_num)
+                yb = y_dev[perm_p].reshape(nb, bs)
+                # per-row weights travel WITH their permuted rows;
+                # batch-alignment padding rows get weight 0
+                wb = jnp.concatenate(
+                    [w[perm], jnp.zeros((pad,))]).reshape(nb, bs)
 
                 def batch_step(carry, inp):
                     params, mutables, opt_state, i = carry
@@ -168,24 +185,95 @@ class Classifier:
             )
             return params, mutables, opt_state
 
-        opt_state = tx.init(self.params)
-        # Bound the work per XLA dispatch: one program scanning all
-        # epochs is fine on the reference-sized sets, but at CAN-corpus
-        # magnitude (3.6M rows -> ~56k batches/epoch) a single program
-        # running for minutes gets the TPU worker killed mid-scan (the
-        # failure then surfaces at the NEXT blocking fetch, since axon
-        # dispatch is async). Epoch keys are pre-split once, so chunked
-        # and monolithic execution are bit-identical.
-        epochs = self.cfg.epochs
+        cache[key] = train
+        return train, nb
+
+    def _fit_arrays(self, x, y, epochs: int, opt_state, weights=None):
+        """Train over one in-memory array pair; returns the optimizer
+        state so callers (`fit_streamed`) can continue across windows.
+
+        Bounds the work per XLA dispatch: one program scanning all
+        epochs is fine on the reference-sized sets, but at CAN-corpus
+        magnitude (3.6M rows -> ~56k batches/epoch) a single program
+        running for minutes gets the TPU worker killed mid-scan (the
+        failure then surfaces at the NEXT blocking fetch, since axon
+        dispatch is async). Epoch keys are pre-split once, so chunked
+        and monolithic execution are bit-identical.
+        """
+        n, feature_num = x.shape
+        train, nb = self._train_runner(n, feature_num)
+        x_dev = jnp.asarray(x, jnp.float32)
+        y_dev = jnp.asarray(y, jnp.int32)
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
         ekeys = jax.random.split(self._next_key(), epochs)
         chunk = max(1, min(epochs, self.FIT_STEPS_PER_DISPATCH // nb))
         params, mutables = self.params, self.mutables
         for start in range(0, epochs, chunk):
             params, mutables, opt_state = train(
-                params, mutables, opt_state, ekeys[start:start + chunk])
+                params, mutables, opt_state, ekeys[start:start + chunk],
+                x_dev, y_dev, w)
         self.params, self.mutables = params, mutables
+        return opt_state
+
+    def fit_streamed(self, x_csv, y_csv, window_rows: int = 1_000_000,
+                     epochs_per_window: int = 10, transform=None) -> int:
+        """Out-of-core downstream training over a beyond-memory CSV pair:
+        fixed-size windows stream through the device with persistent
+        params/optimizer state (the evaluation counterpart of the
+        trainers' `fit_streamed`). Windows are padded to `window_rows`
+        with zero-WEIGHT rows, so every window — including the ragged
+        tail — shares one compiled program. `transform(chunk)` applies
+        training-time feature scaling per window; y one-hot or integer.
+        Returns the number of windows consumed."""
+        import itertools
+
+        from cvaegan_tpu.data.streaming import StreamingCSV
+
+        self.logger.info("Started streamed training")
+        opt_state = None
+        n_windows = 0
+        _END = object()
+        for xw, yw in itertools.zip_longest(StreamingCSV(x_csv, window_rows),
+                                            StreamingCSV(y_csv, window_rows),
+                                            fillvalue=_END):
+            if xw is _END or yw is _END or len(xw) != len(yw):
+                raise ValueError(
+                    f"x/y row mismatch at window {n_windows} — "
+                    "misaligned CSV pair")
+            if transform is not None:
+                xw = transform(xw)
+            labels = (yw.argmax(axis=1) if yw.shape[1] > 1
+                      else yw[:, 0]).astype(np.int32)
+            if self.module is None and n_windows == 0:
+                label_num = (int(yw.shape[1]) if yw.shape[1] > 1
+                             else int(labels.max()) + 1)
+                self._ensure_built(int(xw.shape[1]), label_num)
+            if labels.size and (labels.min() < 0
+                                or labels.max() >= self.label_num):
+                raise ValueError(
+                    f"window {n_windows} holds class id "
+                    f"{int(labels.max())} outside the model's "
+                    f"{self.label_num} classes")
+            n = len(xw)
+            weights = np.ones(window_rows, np.float32)
+            if n < window_rows:
+                xw = np.concatenate(
+                    [xw, np.zeros((window_rows - n, xw.shape[1]),
+                                  np.float32)])
+                labels = np.concatenate(
+                    [labels, np.zeros(window_rows - n, np.int32)])
+                weights[n:] = 0.0
+            if opt_state is None:
+                opt_state = self._make_tx().init(self.params)
+            opt_state = self._fit_arrays(xw, labels, epochs_per_window,
+                                         opt_state, weights=weights)
+            n_windows += 1
+        if n_windows == 0:
+            raise ValueError(f"empty corpus: {x_csv}")
         self._logits_fn = None
-        self.logger.info("Finished training")
+        self.logger.info("Finished streamed training")
+        return n_windows
 
     # ------------------------------------------------------------ predict
     #: rows per inference dispatch; large test sets (e.g. the 400k-row

@@ -139,6 +139,40 @@ def test_test_streamed_matches_in_memory(blob_dataset, fast_settings,
     assert clf.metrics == pytest.approx(want_bin)
 
 
+def test_classifier_fit_streamed(blob_dataset, fast_settings, tmp_path):
+    """Out-of-core downstream training: windows share one compiled
+    program (ragged tail zero-weight-padded), state persists, and the
+    result separates the blob classes."""
+    from cvaegan_tpu import Classifier
+
+    x = np.asarray(blob_dataset.tr_samples, np.float32)
+    y = np.asarray(blob_dataset.tr_labels)
+    _write_csv(tmp_path / "x.csv", x)
+    np.savetxt(tmp_path / "y.csv", y[:, None], delimiter=",", fmt="%d")
+    clf = Classifier("oocclf")
+    windows = clf.fit_streamed(tmp_path / "x.csv", tmp_path / "y.csv",
+                               window_rows=400, epochs_per_window=4)
+    assert windows == 3  # 400 + 400 + ragged 100
+    clf.test(blob_dataset)
+    assert clf.metrics["F1"] > 0.95  # blobs are separable
+    # the shape-keyed runner compiled ONCE for all three windows
+    assert len(clf._fit_fn_cache) == 1
+
+
+def test_classifier_fit_streamed_mismatch_raises(tmp_path, fast_settings):
+    from cvaegan_tpu import Classifier
+
+    x = np.random.default_rng(0).random((100, 4)).astype(np.float32)
+    _write_csv(tmp_path / "x.csv", x)
+    np.savetxt(tmp_path / "y.csv", np.zeros((50, 1)), delimiter=",",
+               fmt="%d")
+    with pytest.raises(ValueError, match="misaligned"):
+        Classifier("oocbad").fit_streamed(tmp_path / "x.csv",
+                                          tmp_path / "y.csv",
+                                          window_rows=50,
+                                          epochs_per_window=1)
+
+
 def test_streaming_pandas_fallback_parity(csv_file, monkeypatch):
     """The pandas chunk fallback must match the native reader."""
     from cvaegan_tpu.data import streaming
