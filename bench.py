@@ -37,8 +37,14 @@ REF_CPU_GEN_PER_SEC = 225_000.0  # torch generate_samples, same machine
 GEN_BATCH = 8192
 
 
-def _gen_rate(m, fused: bool) -> float:
-    """Steady-state generator throughput (samples/sec, device rate)."""
+def _gen_rate(m, fused: bool):
+    """Steady-state generator throughput -> (samples/sec, mode).
+
+    mode is "two-point" (device rate, dispatch overhead cancelled) or
+    "fallback" (single-point rate including ~1s dispatch overhead, used
+    when host jitter inverted the two-point delta 3x) — recorded in the
+    JSON line so degraded numbers are identifiable in the bench history.
+    """
     from cvaegan_tpu.kernels import fused_mlp as fused_k
 
     labels = jnp.zeros((GEN_BATCH,), jnp.int32)
@@ -71,9 +77,10 @@ def _gen_rate(m, fused: bool) -> float:
         jax.device_get(fn(m.state, key, n=n_long))
         t_long = time.perf_counter() - t0
         if t_long > t_short:
-            return (n_long - n_short) * GEN_BATCH / (t_long - t_short)
+            return (n_long - n_short) * GEN_BATCH / (t_long - t_short), \
+                "two-point"
     # conservative fallback: single-point rate incl. dispatch overhead
-    return n_long * GEN_BATCH / t_long
+    return n_long * GEN_BATCH / t_long, "fallback"
 
 
 def main() -> None:
@@ -109,8 +116,10 @@ def main() -> None:
     value = steps / elapsed
 
     # ---- generation throughput + qualified yield (VERDICT r1 item 5) ----
-    gen_xla = _gen_rate(m, fused=False)
-    gen_fused = _gen_rate(m, fused=True)
+    gen_xla, gen_mode = _gen_rate(m, fused=False)
+    gen_fused, gen_fused_mode = _gen_rate(m, fused=True)
+    gen_rate_mode = (gen_mode if gen_mode == gen_fused_mode
+                     else f"{gen_mode}/{gen_fused_mode}")
     yield_n = sum(
         len(m.generate_qualified_samples(c, 50)) for c in range(ds.label_num)
     )
@@ -134,6 +143,7 @@ def main() -> None:
         "gen_samples_per_sec_fused": round(gen_fused),
         "gen_vs_baseline": round(max(gen_xla, gen_fused)
                                  / REF_CPU_GEN_PER_SEC, 2),
+        "gen_rate_mode": gen_rate_mode,
         "qualified_yield": f"{yield_n}/250",
         "qualified_yield_balanced": f"{yield_bal}/250",
     }))

@@ -63,6 +63,13 @@ class StreamingCSV:
     available; otherwise a pandas `chunksize` fallback with identical
     cell semantics. Usable as an iterator and as a context manager
     (closing releases the reader thread early).
+
+    Thread ownership: a StreamingCSV and its iterators belong to ONE
+    consumer thread. `close()` destroys the native stream objects; a
+    concurrent `stream_next` call from another thread (ctypes releases
+    the GIL) would then wait on a freed condvar — use-after-free. Only
+    the native reader's internal prefetch thread is concurrent, and the
+    stream destructor joins it.
     """
 
     def __init__(self, path, chunk_rows: int = 262_144):

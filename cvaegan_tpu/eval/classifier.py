@@ -92,6 +92,7 @@ class Classifier:
         self.params = trainer.state["classifier"].params
         self.mutables = dict(trainer.state["classifier"].mutables)
         self.label_num = trainer.label_num
+        self._fit_fn_cache = {}
 
     # -------------------------------------------------------------- train
     #: max optimizer steps per jitted dispatch during fit; keeps any
@@ -122,7 +123,11 @@ class Classifier:
         bs = self.cfg.batch_size
         nb = -(-n // bs)  # ceil
         pad = nb * bs - n
-        key = (n, feature_num)
+        # the closure bakes in batch_size, lr and the module object, so
+        # they must be part of the key — otherwise changing settings (or
+        # warm-starting a different architecture) between same-shaped
+        # fits would silently reuse a stale compiled trainer
+        key = (n, feature_num, bs, self.cfg.lr, id(self.module))
         if key in cache:
             return cache[key], nb
         tx = self._make_tx()
@@ -258,11 +263,15 @@ class Classifier:
             n = len(xw)
             weights = np.ones(window_rows, np.float32)
             if n < window_rows:
-                xw = np.concatenate(
-                    [xw, np.zeros((window_rows - n, xw.shape[1]),
-                                  np.float32)])
-                labels = np.concatenate(
-                    [labels, np.zeros(window_rows - n, np.int32)])
+                # Pad by wrapping REAL rows (same scheme as the trainers'
+                # fit_streamed): the duplicates carry loss weight 0, but —
+                # unlike zero rows — they keep BatchNorm batch statistics
+                # realistic for warm-started BN classifiers (CTGAN's),
+                # where all-zero padding would skew the normalization of
+                # the real rows in a mostly-padding final window.
+                reps = np.arange(window_rows - n) % n
+                xw = np.concatenate([xw, xw[reps]])
+                labels = np.concatenate([labels, labels[reps]])
                 weights[n:] = 0.0
             if opt_state is None:
                 opt_state = self._make_tx().init(self.params)

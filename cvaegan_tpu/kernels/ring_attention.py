@@ -85,7 +85,13 @@ def _ring_body(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # The carry becomes device-varying after the first merge; mark the
     # (replicated) initial values as varying over the ring axis so the
     # fori_loop carry type is stable under shard_map's manual-axes check.
-    carry = jax.tree.map(lambda x: jax.lax.pvary(x, (axis_name,)), carry)
+    # jax >= 0.9 spells this jax.lax.pcast(..., to='varying'); pvary is
+    # deprecated there but still the only spelling on older versions.
+    if hasattr(jax.lax, "pcast"):
+        _vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+    else:  # pragma: no cover - legacy jax
+        _vary = lambda x: jax.lax.pvary(x, (axis_name,))
+    carry = jax.tree.map(_vary, carry)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 

@@ -77,6 +77,14 @@ def welch(a, b):
 
 def verdict_for(ours, ref, mode_name):
     diff, p = welch(ours, ref)
+    if np.isnan(p):
+        # both groups zero-variance (plausible at small n with
+        # deterministic ties): the t-stat is 0/0. Equal means = an exact
+        # tie; unequal zero-variance means differ with certainty.
+        if diff == 0:
+            return f"exact tie ({mode_name}, both σ=0)"
+        word = "**win**" if diff > 0 else "LOSS"
+        return f"{word} ({diff:+.3f} {mode_name}, both σ=0)"
     sig = p < 0.05
     if diff >= 0:
         word = "**win**" if sig else "ahead (ns)"
