@@ -29,6 +29,7 @@ from cvaegan_tpu.algorithms.ctgan import CTGAN
 from cvaegan_tpu.algorithms.tmg_gan import TMGGAN
 from cvaegan_tpu.algorithms.qg_smote import QG_SMOTE
 from cvaegan_tpu.algorithms.rain_gan import RAIN_GAN
+from cvaegan_tpu.algorithms.seed_bank import SeedBank
 from cvaegan_tpu.eval.classifier import Classifier
 from cvaegan_tpu.utils.logger import Logger
 
@@ -37,4 +38,5 @@ __version__ = "0.1.0"
 __all__ = [
     "CVAEGAN", "CVAE", "VAE", "VAEGAN", "GAN", "CGAN", "SNGAN",
     "CTGAN", "TMGGAN", "QG_SMOTE", "RAIN_GAN", "Classifier", "Logger",
+    "SeedBank",
 ]

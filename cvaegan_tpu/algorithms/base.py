@@ -74,9 +74,21 @@ class GenerativeTrainer:
 
     def __init__(self, seed: Optional[int] = None,
                  settings: Optional[config_lib.Settings] = None,
-                 balanced_mode: bool = False):
+                 balanced_mode: bool = False,
+                 ema_filter: bool = False):
         self.settings = settings or config_lib.settings
         self.gan_cfg = self.settings.gan
+        #: strict-mode yield stabilizer: maintain an exponential moving
+        #: average of the companion classifier's params during training
+        #: and FILTER qualified samples with it. The filter semantics
+        #: (threshold, correct-class check, patience=20) are unchanged —
+        #: only the filtering classifier's weights differ. Rationale: the
+        #: per-class round-robin leaves the final C's decision boundary
+        #: seed-arbitrary relative to G (measured, BASELINE.md strict
+        #: yield CV 0.56); the EMA is the time-average C that G was
+        #: actually trained against. Training math is untouched.
+        self.ema_filter = ema_filter
+        self.ema_decay = 0.99  # per-epoch; ~100-epoch averaging window
         #: beyond-parity fast mode for the conditional family: ONE
         #: class-balanced mixed D/C/G round per epoch instead of the
         #: reference's per-class round-robin — same losses, epoch cost
@@ -122,16 +134,18 @@ class GenerativeTrainer:
         y = shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
         return x, y
 
-    def _sample_labels(self, key: jax.Array, class_id):
+    def _sample_labels(self, key: jax.Array, data: Dict[str, Any], class_id):
         """Label vector for updates that need no real batch (pure
         generator steps): the target class in strict mode, uniform mixed
-        labels in balanced_mode."""
+        labels over the window's PRESENT classes in balanced_mode."""
+        from cvaegan_tpu.data.sampler import present_labels
         from cvaegan_tpu.parallel.mesh import shard_leading
 
         cfg = self.gan_cfg
         if self.balanced_mode:
-            return shard_leading(
-                jax.random.randint(key, (cfg.batch_size,), 0, self.label_num))
+            raw = jax.random.randint(key, (cfg.batch_size,), 0,
+                                     self.label_num)
+            return shard_leading(present_labels(raw, data["index"]))
         return shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
 
     def _class_rounds(self) -> int:
@@ -139,9 +153,64 @@ class GenerativeTrainer:
         one round per class (the reference's round-robin)."""
         return 1 if self.balanced_mode else self.label_num
 
+    def _guard_class_round(self, class_body, data):
+        """Wrap a per-class scan body so rounds for classes ABSENT from
+        the current data window leave the state untouched (branch-free
+        select — one compiled program regardless of the window's class
+        mix). Matters only for `fit_streamed`: a time-ordered corpus
+        window can legitimately hold zero rows of a rare class, and the
+        reference itself skips absent classes (it iterates its per-label
+        sample dict, `src/cvae_gan.py:102`). When every class is present
+        the select picks the new state bitwise, so in-memory fits are
+        unchanged. Balanced mode needs no guard (its single mixed round
+        draws labels over PRESENT classes only, `sampler.present_labels`)."""
+        if self.balanced_mode:
+            return class_body
+
+        def guarded(carry, class_id):
+            state0 = carry[0]
+            (state, key), losses = class_body(carry, class_id)
+            present = data["index"].counts[class_id] > 0
+            state = jax.tree.map(
+                lambda n, o: jnp.where(present, n, o), state, state0)
+            return (state, key), losses
+
+        return guarded
+
+    def _epoch_losses(self, per_class, data):
+        """Per-epoch reported losses = the LAST PRESENT class round's
+        (the reference records the last class's final G step,
+        `src/cvae_gan.py:218-222`; absent-class rounds are masked no-ops
+        whose loss values are meaningless). All-present reduces to the
+        reference's `[-1]` pick."""
+        if self.balanced_mode:
+            return jax.tree.map(lambda x: x[-1], per_class)
+        counts = data["index"].counts
+        idx = (counts.shape[0] - 1) - jnp.argmax((counts > 0)[::-1])
+        return jax.tree.map(lambda x: x[idx], per_class)
+
     def _build(self, key: jax.Array) -> Dict[str, Any]:
         """Create modules/optimizers and return the initial state dict."""
         raise NotImplementedError
+
+    def _build_state(self, key: jax.Array) -> Dict[str, Any]:
+        """`_build` + optional EMA-filter slot (params-only copy of the
+        companion classifier, updated per epoch in the chunk runner)."""
+        state = self._build(key)
+        if self.ema_filter and "classifier" in state:
+            state["classifier_ema"] = jax.tree.map(
+                jnp.array, state["classifier"].params)
+        return state
+
+    def _filter_state(self, state):
+        """State used by the qualified-sample FILTER: the EMA classifier
+        when enabled, the live one otherwise. Works on traced and host
+        pytrees alike."""
+        if isinstance(state, dict) and "classifier_ema" in state:
+            c = state["classifier"]
+            return {**state, "classifier": c.replace(
+                params=state["classifier_ema"])}
+        return state
 
     def _epoch_body(
         self, state: Dict[str, Any], data: Dict[str, Any], epoch: jnp.ndarray,
@@ -161,7 +230,7 @@ class GenerativeTrainer:
             "index": ClassIndex.build(labels, self.label_num),
         }
         if self.state is None:
-            self.state = self._build(self._next_key())
+            self.state = self._build_state(self._next_key())
 
     # ------------------------------------------------------------------ fit
     def _chunk_runner(self):
@@ -177,6 +246,12 @@ class GenerativeTrainer:
                     key, sub = jax.random.split(key)
                     state, losses = self._epoch_body(state, data,
                                                      epoch0 + i, sub)
+                    if "classifier_ema" in state:  # static (dict key)
+                        d = self.ema_decay
+                        state = {**state, "classifier_ema": jax.tree.map(
+                            lambda e, p: d * e + (1 - d) * p,
+                            state["classifier_ema"],
+                            state["classifier"].params)}
                     return (state, key), losses
 
                 (state, key), losses = jax.lax.scan(
@@ -258,9 +333,12 @@ class GenerativeTrainer:
         window_rows >> remainder).
 
         y may be one-hot (reference CSV format, width = label_num) or a
-        single integer column (label_num inferred from the first window).
-        Every window must contain every class — grow `window_rows` (or
-        shuffle the corpus) otherwise.
+        single integer column (label_num inferred from the first window;
+        prefer one-hot for corpora whose first window may miss classes).
+        Windows may legitimately lack classes (time-ordered corpora with
+        rare attack bursts): absent classes' rounds are branch-free
+        masked no-ops and balanced-mode label draws remap to present
+        classes, so one compiled program still serves every window.
 
         `normalize` (default): a first one-pass stream computes global
         per-column min/max and every window is minmax-scaled into [0, 1]
@@ -310,11 +388,14 @@ class GenerativeTrainer:
                     "infer label_num from the FIRST window — use one-hot "
                     "y or ensure every class appears early)")
             counts = np.bincount(labels, minlength=self.label_num)
-            if (counts == 0).any():
+            if (counts == 0).any() and self.verbose:
+                # Legitimate for time-ordered corpora with rare attack
+                # bursts: the absent classes' rounds are masked no-ops
+                # this window (`_guard_class_round`) and balanced-mode
+                # label draws cover present classes only.
                 missing = np.nonzero(counts == 0)[0].tolist()
-                raise ValueError(
-                    f"window {n_windows} is missing classes {missing} — "
-                    "increase window_rows or shuffle the corpus")
+                print(f"{self.name} window {n_windows}: classes {missing} "
+                      "absent — their class rounds are skipped this window")
             # Index built from the UNPADDED labels: conditional sampling
             # only ever addresses real rows, exactly.
             index = ClassIndex.build(labels, self.label_num,
@@ -330,7 +411,7 @@ class GenerativeTrainer:
                 "index": index,
             }
             if self.state is None:
-                self.state = self._build(self._next_key())
+                self.state = self._build_state(self._next_key())
             self._fit_prepared(epochs_per_window)
             n_windows += 1
         if n_windows == 0:
@@ -422,6 +503,7 @@ class GenerativeTrainer:
 
             def _qualified(state, key, target, threshold):
                 labels = jnp.full((cand,), target, jnp.int32)
+                fstate = self._filter_state(state)
 
                 def cond(carry):
                     key, buf, count, patience = carry
@@ -432,7 +514,7 @@ class GenerativeTrainer:
                     key, kz, kg = jax.random.split(key, 3)
                     z = jax.random.normal(kz, (cand, z_size))
                     x = self._generator_forward(state, z, labels, kg)
-                    logits = self._classifier_logits(state, x)
+                    logits = self._classifier_logits(fstate, x)
                     probs = jax.nn.softmax(logits, axis=-1)
                     valid = (jnp.max(probs, -1) > threshold) & (
                         jnp.argmax(probs, -1) == labels)

@@ -120,7 +120,7 @@ class CGAN(GenerativeTrainer):
         gen, dis = self.modules["generator"], self.modules["discriminator"]
         clf = self.modules["classifier"]
         k_y, k_z, k_d, k_c = jax.random.split(key, 4)
-        y = self._sample_labels(k_y, class_id)
+        y = self._sample_labels(k_y, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g, d, c = state["generator"], state["discriminator"], state["classifier"]
 
@@ -168,8 +168,9 @@ class CGAN(GenerativeTrainer):
             return (state, key), jax.tree.map(lambda x: x[-1], g_losses)
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds()))
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds()))
+        return state, self._epoch_losses(per_class, data)
 
     def _generator_forward(self, state, z, labels, key):
         x, _ = apply_eval(self.modules["generator"], state["generator"],

@@ -157,7 +157,7 @@ class CTGAN(GenerativeTrainer):
         gen = self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
         k_y, k_z, k_m, k_dm, k_d, k_c = jax.random.split(key, 6)
-        y = self._sample_labels(k_y, class_id)
+        y = self._sample_labels(k_y, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g_mask = ctgan_models.random_column_mask(
             k_m, cfg.batch_size, self.num_columns)
@@ -216,8 +216,9 @@ class CTGAN(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds()))
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds()))
+        return state, self._epoch_losses(per_class, data)
 
     # --------------------------------------------------------- generation
     def _generator_forward(self, state, z, labels, key):

@@ -141,8 +141,9 @@ class CVAE(GenerativeTrainer):
             return (state, key), jax.tree.map(lambda x: x[-1], g_losses)
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds()))
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds()))
+        return state, self._epoch_losses(per_class, data)
 
     def _generator_forward(self, state, z, labels, key):
         x, _ = apply_eval(self.modules["generator"], state["generator"],

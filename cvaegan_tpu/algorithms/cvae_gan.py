@@ -253,12 +253,13 @@ class CVAEGAN(GenerativeTrainer):
             return (state, key), last
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds())
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds())
         )
         # The reference records the losses of the last class's final G step
-        # (`src/cvae_gan.py:218-222`).
-        epoch_losses = jax.tree.map(lambda x: x[-1], per_class)
-        return state, epoch_losses
+        # (`src/cvae_gan.py:218-222`); absent-class rounds (streamed
+        # windows) are masked and skipped in the pick.
+        return state, self._epoch_losses(per_class, data)
 
     # --------------------------------------------------------- generation
     def _generator_forward(self, state, z, labels, key):

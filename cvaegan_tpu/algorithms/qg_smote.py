@@ -240,8 +240,9 @@ class QG_SMOTE(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds()))
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds()))
+        return state, self._epoch_losses(per_class, data)
 
     # --------------------------------------------------------- generation
     def _generator_forward(self, state, z, labels, key):
@@ -306,9 +307,10 @@ class QG_SMOTE(GenerativeTrainer):
         if clf_fn is None:
             clf_fn = jax.jit(lambda state, x: self._classifier_logits(state, x))
             self._gen_cache["clf"] = clf_fn
+        fstate = self._filter_state(self.state)
         while total < num and patience > 0:
             x = self.generate_samples(target_label, cand, method="quantile")
-            logits = np.asarray(clf_fn(self.state, jnp.asarray(x)))
+            logits = np.asarray(clf_fn(fstate, jnp.asarray(x)))
             e = np.exp(logits - logits.max(1, keepdims=True))
             probs = e / e.sum(1, keepdims=True)
             valid = (probs.max(1) > confidence_threshold) & (

@@ -125,7 +125,7 @@ class SNGAN(GenerativeTrainer):
         gen = self.modules["generator"]
         dis, clf = self.modules["discriminator"], self.modules["classifier"]
         k_y, k_z = jax.random.split(key)
-        y = self._sample_labels(k_y, class_id)
+        y = self._sample_labels(k_y, data, class_id)
         z = shard_leading(jax.random.normal(k_z, (cfg.batch_size, cfg.z_size)))
         g, d, c = state["generator"], state["discriminator"], state["classifier"]
 
@@ -178,8 +178,9 @@ class SNGAN(GenerativeTrainer):
             return (state, key), out
 
         (state, _), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self._class_rounds()))
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self._class_rounds()))
+        return state, self._epoch_losses(per_class, data)
 
     def _generator_forward(self, state, z, labels, key):
         x, _ = apply_eval(self.modules["generator"], state["generator"],

@@ -261,10 +261,14 @@ class TMGGAN(GenerativeTrainer):
                                   "g_loss": g_losses[-1]}
 
         (state, key), per_class = jax.lax.scan(
-            class_body, (state, key), jnp.arange(self.label_num))
+            self._guard_class_round(class_body, data), (state, key),
+            jnp.arange(self.label_num))
         key, k_div = jax.random.split(key)
+        # The cross-generator diversity step keeps coupling ALL
+        # generators (absent-class generators included), mirroring the
+        # reference's epoch-level step (`src/tmg_gan.py:120-146`).
         state, _ = self._diversity_step(state, k_div)
-        return state, jax.tree.map(lambda x: x[-1], per_class)
+        return state, self._epoch_losses(per_class, data)
 
     def _on_chunk_end(self, epochs_done: int) -> None:
         """Scatter snapshot of generated samples, the reference's

@@ -77,14 +77,30 @@ def sample_class_batch(
     return samples[rows]
 
 
+def present_labels(raw: jnp.ndarray, index: ClassIndex) -> jnp.ndarray:
+    """Map uniform draws over [0, label_num) to uniform draws over the
+    classes PRESENT in `index` (counts > 0).
+
+    Branch-free streamed-window support: a time-ordered corpus window may
+    hold zero rows of a rare class; drawing its label would gather
+    padding rows (row 0) under a wrong label. When every class is
+    present this is bitwise the identity (modulo label_num + a stable
+    argsort that sorts nothing), so in-memory fits are unchanged.
+    """
+    present = index.counts > 0
+    n_present = jnp.maximum(jnp.sum(present), 1)
+    order = jnp.argsort(~present, stable=True)  # present first, original order
+    return order[raw % n_present]
+
+
 def sample_balanced_batch(
     key: jax.Array,
     index: ClassIndex,
     samples: jnp.ndarray,
     batch_size: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Class-balanced mixed batch: labels drawn uniformly over classes,
-    rows drawn uniformly within each label's pool.
+    """Class-balanced mixed batch: labels drawn uniformly over (present)
+    classes, rows drawn uniformly within each label's pool.
 
     This powers the beyond-parity `balanced_mode` training scheme (one
     mixed-class update round per epoch instead of the reference's
@@ -94,8 +110,8 @@ def sample_balanced_batch(
     from cvaegan_tpu.parallel.mesh import shard_leading
 
     k_lab, k_row = jax.random.split(key)
-    labels = shard_leading(
-        jax.random.randint(k_lab, (batch_size,), 0, index.label_num))
+    labels = shard_leading(present_labels(
+        jax.random.randint(k_lab, (batch_size,), 0, index.label_num), index))
     counts = jnp.maximum(index.counts[labels], 1)
     r = jax.random.randint(k_row, (batch_size,), 0, jnp.iinfo(jnp.int32).max)
     rows = index.table[labels, r % counts]  # sharding follows `labels`

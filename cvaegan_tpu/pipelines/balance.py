@@ -66,9 +66,17 @@ def run_balance_pipeline(
     confidence_threshold: Optional[float] = None,
     balanced_mode: bool = False,
     warm_start: bool = True,
+    model=None,
+    ema_filter: bool = False,
 ):
     """Run the full script pipeline; returns a result dict with the
-    trained model, classifier, and metrics."""
+    trained model, classifier, and metrics.
+
+    `model`: a pre-fitted trainer (e.g. one `SeedBank.fit` replica) —
+    the pipeline then skips construction + `fit` and runs generation /
+    augmentation / downstream evaluation against it. The caller must
+    have fitted it on `dataset.renormalized()` (what this pipeline
+    would train on)."""
     settings = settings or config_lib.settings
     seed = settings.seed if seed is None else seed
     out_dir = Path(out_dir) if out_dir else Path.cwd()
@@ -80,15 +88,17 @@ def run_balance_pipeline(
     print(f"train set: {ds.tr_samples.shape}, classes: {label_num}, "
           f"counts: {ds.class_counts().tolist()}")
 
-    try:
-        model = algorithm_cls(seed=seed, settings=settings,
-                              balanced_mode=balanced_mode)
-    except (TypeError, ValueError):
-        if balanced_mode:
-            raise
-        model = algorithm_cls(seed=seed, settings=settings)
-    print(f"training {display_name} ...")
-    model.fit(ds)
+    if model is None:
+        try:
+            model = algorithm_cls(seed=seed, settings=settings,
+                                  balanced_mode=balanced_mode,
+                                  ema_filter=ema_filter)
+        except (TypeError, ValueError):
+            if balanced_mode or ema_filter:
+                raise
+            model = algorithm_cls(seed=seed, settings=settings)
+        print(f"training {display_name} ...")
+        model.fit(ds)
     if plot:
         model.plot_loss_history()
 
@@ -187,6 +197,107 @@ def run_balance_pipeline(
     }
 
 
+def run_streamed_pipeline(
+    algorithm_cls,
+    display_name: str,
+    data_dir,
+    window_rows: int = 1_000_000,
+    gan_epochs_per_window: int = 125,
+    clf_epochs_per_window: int = 25,
+    settings: Optional[config_lib.Settings] = None,
+    seed: Optional[int] = None,
+    balanced_mode: bool = True,
+    warm_start: bool = True,
+):
+    """Out-of-core flagship pipeline: every stage streams the corpus in
+    O(window) host memory (the path proven at 4M/40M frames by
+    `experiments/ooc_pipeline_4m.py`, BASELINE.md):
+
+      1. one-pass global minmax statistics (`data.streaming.stream_minmax`)
+      2. trainer `fit_streamed` over x/y_train.csv (fixed-size device
+         windows, persistent state, one compiled program)
+      3. warm-started downstream `Classifier.fit_streamed`
+      4. `test_streamed` multiclass + binary over x/y_test.csv
+
+    `data_dir` holds x_train/y_train/x_test/y_test.csv (the reference's
+    CSV layout, `src/datasets/__init__.py:19-35`; build one with
+    `scripts/prepare_can_dataset.py`). The in-memory pipeline's
+    balance-generation/pickle stages are skipped — at beyond-memory
+    scale the deliverable is the trained generator + streamed
+    evaluation. Returns a dict of stage timings and metrics."""
+    import time as _time
+
+    from cvaegan_tpu.data.streaming import stream_minmax
+
+    settings = settings or config_lib.settings
+    seed = settings.seed if seed is None else seed
+    root = Path(data_dir)
+    for f in ("x_train.csv", "y_train.csv", "x_test.csv", "y_test.csv"):
+        if not (root / f).exists():
+            raise FileNotFoundError(
+                f"streamed pipeline: {root / f} not found — need the "
+                "x/y_{train,test}.csv corpus layout "
+                "(scripts/prepare_can_dataset.py builds one)")
+
+    rec = {"mode": "out-of-core", "window_rows": window_rows}
+    t_all = _time.time()
+
+    lo, hi = stream_minmax(root / "x_train.csv")
+    scale = hi - lo
+    scale[scale == 0] = 1.0
+    rec["minmax_seconds"] = round(_time.time() - t_all, 1)
+
+    def tf(chunk):
+        return (chunk - lo) / scale
+
+    try:
+        model = algorithm_cls(seed=seed, settings=settings,
+                              balanced_mode=balanced_mode)
+    except (TypeError, ValueError):
+        if balanced_mode:
+            raise
+        model = algorithm_cls(seed=seed, settings=settings)
+    print(f"streamed training {display_name} "
+          f"(window {window_rows} rows x {gan_epochs_per_window} epochs)...")
+    t0 = _time.time()
+    rec["gan_windows"] = model.fit_streamed(
+        root / "x_train.csv", root / "y_train.csv",
+        window_rows=window_rows, epochs_per_window=gan_epochs_per_window)
+    rec["gan_fit_seconds"] = round(_time.time() - t0, 1)
+
+    clf = Classifier(display_name, seed=seed, settings=settings)
+    if warm_start and getattr(model, "modules", {}).get("classifier") is not None:
+        clf.warm_start_from(model)
+    t0 = _time.time()
+    rec["clf_windows"] = clf.fit_streamed(
+        root / "x_train.csv", root / "y_train.csv",
+        window_rows=window_rows, epochs_per_window=clf_epochs_per_window,
+        transform=tf)
+    rec["clf_fit_seconds"] = round(_time.time() - t0, 1)
+
+    t0 = _time.time()
+    clf.test_streamed(root / "x_test.csv", root / "y_test.csv", transform=tf)
+    print(clf.confusion_matrix)
+    clf.print_metrics(4)
+    multiclass_metrics = dict(clf.metrics)
+    clf.test_streamed(root / "x_test.csv", root / "y_test.csv", transform=tf,
+                      binary=True)
+    print(clf.confusion_matrix)
+    clf.print_metrics(4)
+    binary_metrics = dict(clf.metrics)
+    rec["test_seconds"] = round(_time.time() - t0, 1)
+    rec["total_seconds"] = round(_time.time() - t_all, 1)
+    print(f"\nstreamed pipeline total: {rec['total_seconds']}s")
+
+    return {
+        "model": model,
+        "classifier": clf,
+        "multiclass_metrics": multiclass_metrics,
+        "binary_metrics": binary_metrics,
+        **rec,
+    }
+
+
 def make_cli(description: str):
     """Shared argparse CLI for the train scripts — the reference has no
     flag system at all (dataset chosen by an in-file constant,
@@ -215,11 +326,27 @@ def make_cli(description: str):
                    help="train a FRESH downstream classifier instead of "
                         "warm-starting from the GAN's companion (the "
                         "documented SNGAN fix, BASELINE.md)")
+    p.add_argument("--ema-filter", action="store_true",
+                   help="filter qualified samples with an EMA of the "
+                        "companion classifier (strict-mode yield "
+                        "stabilizer; threshold/patience semantics "
+                        "unchanged — see BASELINE.md)")
+    p.add_argument("--streamed", action="store_true",
+                   help="out-of-core pipeline: stream the corpus through "
+                        "fixed-size device windows (O(window) host "
+                        "memory; --dataset must be a csv dir). Proven at "
+                        "4M/40M frames — see BASELINE.md")
+    p.add_argument("--window-rows", type=int, default=1_000_000,
+                   help="rows per streamed device window")
+    p.add_argument("--epochs-per-window", type=int, default=125,
+                   help="trainer epochs per streamed window")
+    p.add_argument("--clf-epochs-per-window", type=int, default=25,
+                   help="downstream classifier epochs per streamed window")
     return p
 
 
-def apply_cli(args) -> TabularDataset:
-    """Apply CLI overrides to the global settings and load the dataset."""
+def apply_cli_settings(args) -> None:
+    """Apply CLI overrides to the global settings (no dataset load)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -232,4 +359,39 @@ def apply_cli(args) -> TabularDataset:
         settings.gan.epochs = args.epochs
     if args.clf_epochs is not None:
         settings.classifier.epochs = args.clf_epochs
+
+
+def apply_cli(args) -> TabularDataset:
+    """Apply CLI overrides to the global settings and load the dataset."""
+    apply_cli_settings(args)
     return load_dataset(args.dataset, seed=args.seed)
+
+
+def run_from_cli(algorithm_cls, display_name: str, args,
+                 generation_mode: str = "qualified"):
+    """Dispatch a train script's parsed CLI to the in-memory balance
+    pipeline or (--streamed) the out-of-core pipeline."""
+    apply_cli_settings(args)
+    if args.streamed:
+        path = Path(args.dataset)
+        if not path.exists():
+            path = config_lib.settings.paths.datasets / args.dataset
+        return run_streamed_pipeline(
+            algorithm_cls, display_name, path,
+            window_rows=args.window_rows,
+            gan_epochs_per_window=args.epochs_per_window,
+            clf_epochs_per_window=args.clf_epochs_per_window,
+            seed=args.seed,
+            balanced_mode=args.balanced_mode,
+            warm_start=not args.no_warm_start,
+        )
+    dataset = load_dataset(args.dataset, seed=args.seed)
+    return run_balance_pipeline(
+        algorithm_cls, display_name, dataset,
+        out_dir=args.out_dir,
+        confidence_threshold=args.confidence_threshold,
+        balanced_mode=args.balanced_mode,
+        warm_start=not args.no_warm_start,
+        generation_mode=generation_mode,
+        ema_filter=args.ema_filter,
+    )

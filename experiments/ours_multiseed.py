@@ -54,7 +54,7 @@ def load_fixture(path) -> "TabularDataset":
 
 
 def run_one(model_name: str, seed: int, fixture, balanced: bool,
-            threshold=None, warm_start: bool = True):
+            threshold=None, warm_start: bool = True, model=None):
     import cvaegan_tpu
     from cvaegan_tpu.pipelines.balance import run_balance_pipeline
 
@@ -65,7 +65,7 @@ def run_one(model_name: str, seed: int, fixture, balanced: bool,
     r = run_balance_pipeline(
         cls, cls_name, ds, out_dir="/tmp", plot=False, seed=seed,
         generation_mode=gen_mode, balanced_mode=balanced,
-        confidence_threshold=threshold, warm_start=warm_start,
+        confidence_threshold=threshold, warm_start=warm_start, model=model,
     )
     counts = np.bincount(np.asarray(ds.tr_labels))
     n_train = int(counts.sum())
@@ -92,6 +92,51 @@ def run_one(model_name: str, seed: int, fixture, balanced: bool,
     }
 
 
+def run_bank(model_name: str, seeds, fixtures_dir, balanced: bool,
+             out, done, mode_tag: str, threshold=None,
+             warm_start: bool = True):
+    """Vmapped seed-parallel fit (ONE XLA program trains all seeds,
+    `cvaegan_tpu.SeedBank`), then the per-seed downstream pipeline
+    (generation / augmentation / classifier / metrics) serially in the
+    same process — compiles shared across seeds."""
+    import cvaegan_tpu
+    from cvaegan_tpu import SeedBank
+
+    cls_name, _, gen_mode = MODELS[model_name]
+    cls = getattr(cvaegan_tpu, cls_name)
+    todo = [s for s in seeds
+            if (model_name, s, mode_tag, threshold) not in done]
+    if not todo:
+        print(f"skip {model_name} {mode_tag} (all seeds done)", flush=True)
+        return
+    fixtures = [pathlib.Path(fixtures_dir) / f"imb_s{s}.npz" for s in todo]
+    # the pipeline trains on dataset.renormalized(); fit the bank on
+    # exactly that
+    datasets = [load_fixture(f).renormalized() for f in fixtures]
+    bank = SeedBank(cls, seeds=todo, balanced_mode=balanced)
+    for t in bank.trainers:
+        t.verbose = False
+    print(f"=== bank fit {model_name} {mode_tag} x{len(todo)} seeds ===",
+          flush=True)
+    trainers = bank.fit(datasets)
+    print(f"bank fit: {bank.fit_seconds:.1f}s, "
+          f"{bank.steps_per_sec:.0f} aggregate steps/s", flush=True)
+    for s, fixture, trainer in zip(todo, fixtures, trainers):
+        try:
+            rec = run_one(model_name, s, fixture, balanced, threshold,
+                          warm_start=warm_start, model=trainer)
+            rec["fit_mode"] = "bank"
+            rec["bank_steps_per_sec"] = round(bank.steps_per_sec)
+        except Exception as e:
+            traceback.print_exc()
+            rec = {"framework": "cvaegan_tpu", "model": model_name,
+                   "seed": s, "mode": mode_tag,
+                   "error": f"{type(e).__name__}: {e}"}
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
@@ -105,6 +150,9 @@ def main():
     p.add_argument("--no-warm-start", action="store_true",
                    help="fresh downstream classifier (the documented "
                         "SNGAN fix, BASELINE.md); tags mode +fresh_clf")
+    p.add_argument("--bank", action="store_true",
+                   help="vmapped seed-parallel fit per (model, mode) "
+                        "(SeedBank): all seeds train in one XLA program")
     args = p.parse_args()
 
     out = pathlib.Path(args.out)
@@ -119,6 +167,19 @@ def main():
                               r.get("threshold")))
             except (json.JSONDecodeError, KeyError):
                 pass
+
+    if args.bank:
+        for model_name in args.models:
+            for mode in args.modes:
+                balanced = mode == "balanced"
+                if balanced and not MODELS[model_name][1]:
+                    continue
+                mode_tag = mode + ("+fresh_clf" if args.no_warm_start
+                                   else "")
+                run_bank(model_name, args.seeds, args.fixtures, balanced,
+                         out, done, mode_tag, args.threshold,
+                         warm_start=not args.no_warm_start)
+        return
 
     for seed in args.seeds:
         fixture = pathlib.Path(args.fixtures) / f"imb_s{seed}.npz"

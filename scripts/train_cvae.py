@@ -14,20 +14,12 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from cvaegan_tpu import CVAE
-from cvaegan_tpu.pipelines.balance import apply_cli, make_cli, run_balance_pipeline
+from cvaegan_tpu.pipelines.balance import make_cli, run_from_cli
 
 
 def main():
     args = make_cli(__doc__).parse_args()
-    dataset = apply_cli(args)
-    run_balance_pipeline(
-        CVAE, "CVAE", dataset,
-        out_dir=args.out_dir,
-        confidence_threshold=args.confidence_threshold,
-        balanced_mode=args.balanced_mode,
-        warm_start=not args.no_warm_start,
-        generation_mode="qualified",
-    )
+    run_from_cli(CVAE, "CVAE", args, generation_mode="qualified")
 
 
 if __name__ == "__main__":

@@ -78,3 +78,41 @@ def test_cli_parsing():
     args = make_cli("x").parse_args(
         ["--dataset", "blobs", "--epochs", "7", "--seed", "3", "--test-mode"])
     assert args.epochs == 7 and args.seed == 3 and args.test_mode
+
+
+def test_streamed_pipeline_end_to_end(fast_settings, tmp_path):
+    """One command reproduces the out-of-core path (VERDICT r2 item 7):
+    minmax stream -> trainer fit_streamed -> warm-started
+    Classifier.fit_streamed -> test_streamed, on a tiny csv-dir corpus."""
+    from cvaegan_tpu import CVAEGAN
+    from cvaegan_tpu.pipelines.balance import run_streamed_pipeline
+
+    rng = np.random.default_rng(0)
+    n, f, classes = 360, 6, 3
+    y = np.arange(n) % classes
+    x = rng.normal(loc=y[:, None], scale=0.3, size=(n, f)).astype(np.float32)
+    np.savetxt(tmp_path / "x_train.csv", x, delimiter=",", fmt="%.6g")
+    np.savetxt(tmp_path / "y_train.csv", np.eye(classes)[y], delimiter=",",
+               fmt="%d")
+    np.savetxt(tmp_path / "x_test.csv", x[:90], delimiter=",", fmt="%.6g")
+    np.savetxt(tmp_path / "y_test.csv", np.eye(classes)[y[:90]],
+               delimiter=",", fmt="%d")
+
+    result = run_streamed_pipeline(
+        CVAEGAN, "CVAE_GAN", tmp_path, window_rows=128,
+        gan_epochs_per_window=2, clf_epochs_per_window=2,
+        balanced_mode=True)
+    assert result["gan_windows"] == 3  # 128 + 128 + ragged 104
+    assert result["clf_windows"] == 3
+    assert set(result["multiclass_metrics"]) == {"Precision", "Recall", "F1"}
+    assert result["binary_metrics"]["F1"] > 0.3  # well-separated classes
+
+
+def test_cli_streamed_flags():
+    from cvaegan_tpu.pipelines.balance import make_cli
+
+    args = make_cli("x").parse_args(
+        ["--streamed", "--window-rows", "256", "--epochs-per-window", "5"])
+    assert args.streamed and args.window_rows == 256
+    assert args.epochs_per_window == 5 and args.clf_epochs_per_window == 25
+    assert not make_cli("x").parse_args([]).streamed

@@ -372,3 +372,33 @@ def test_dataset_smaller_than_batch(fast_settings):
     m = CVAEGAN()
     m.fit(ds)
     assert m.generate_samples(1, 4).shape == (4, 8)
+
+
+def test_ema_filter(blob_dataset, fast_settings):
+    """ema_filter=True maintains a per-epoch EMA of the companion
+    classifier and filters qualified samples with it; the training math
+    and filter semantics (threshold/patience) are untouched."""
+    import jax
+
+    from cvaegan_tpu import CVAEGAN
+
+    fast_settings.gan.epochs = 5
+    m = CVAEGAN(seed=0, ema_filter=True)
+    m.verbose = False
+    m.fit(blob_dataset)
+    assert "classifier_ema" in m.state
+    # the EMA genuinely lags the live classifier after 5 epochs
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(m.state["classifier_ema"]),
+                             jax.tree.leaves(m.state["classifier"].params))]
+    assert max(diffs) > 1e-6
+    # filtering path runs (empty is fine pre-lambda_class ramp)
+    q = m.generate_qualified_samples(0, 8)
+    assert q.shape[1] == blob_dataset.feature_num
+    # training losses identical to a non-EMA fit: the EMA is filter-only
+    m2 = CVAEGAN(seed=0)
+    m2.verbose = False
+    m2.fit(blob_dataset)
+    for k in m.loss_keys:
+        np.testing.assert_allclose(m.loss_history[k], m2.loss_history[k],
+                                   rtol=1e-6)
