@@ -78,15 +78,15 @@ class GenerativeTrainer:
                  ema_filter: bool = False):
         self.settings = settings or config_lib.settings
         self.gan_cfg = self.settings.gan
-        #: strict-mode yield stabilizer: maintain an exponential moving
-        #: average of the companion classifier's params during training
-        #: and FILTER qualified samples with it. The filter semantics
-        #: (threshold, correct-class check, patience=20) are unchanged —
-        #: only the filtering classifier's weights differ. Rationale: the
-        #: per-class round-robin leaves the final C's decision boundary
-        #: seed-arbitrary relative to G (measured, BASELINE.md strict
-        #: yield CV 0.56); the EMA is the time-average C that G was
-        #: actually trained against. Training math is untouched.
+        #: maintain an exponential moving average of the companion
+        #: classifier's params during training and FILTER qualified
+        #: samples with it; filter semantics (threshold, correct-class
+        #: check, patience=20) and training math are unchanged. Measured
+        #: result (BASELINE.md, experiments/yield_ema.py): does NOT fix
+        #: strict-mode yield instability (CV 0.55 -> 0.51) — the
+        #: instability lives in the generator's conditional outputs, not
+        #: the classifier endpoint; `balanced_mode` is the effective fix.
+        #: Kept as the recorded attempt + a calibration-style knob.
         self.ema_filter = ema_filter
         self.ema_decay = 0.99  # per-epoch; ~100-epoch averaging window
         #: beyond-parity fast mode for the conditional family: ONE

@@ -328,9 +328,10 @@ def make_cli(description: str):
                         "documented SNGAN fix, BASELINE.md)")
     p.add_argument("--ema-filter", action="store_true",
                    help="filter qualified samples with an EMA of the "
-                        "companion classifier (strict-mode yield "
-                        "stabilizer; threshold/patience semantics "
-                        "unchanged — see BASELINE.md)")
+                        "companion classifier (threshold/patience "
+                        "unchanged; measured NOT to fix strict-yield "
+                        "instability — use --balanced-mode for that, "
+                        "see BASELINE.md)")
     p.add_argument("--streamed", action="store_true",
                    help="out-of-core pipeline: stream the corpus through "
                         "fixed-size device windows (O(window) host "

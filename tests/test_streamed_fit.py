@@ -97,9 +97,7 @@ def test_guard_masks_absent_class_round(fast_settings):
     # rebuild the index as if class 1 had no rows in this window
     labels = np.asarray(ds.tr_labels).copy()
     labels[labels == 1] = 0
-    data = {**m._data,
-            "index": ClassIndex.build(labels, m.label_num,
-                                      pad_to=m._data["index"].table.shape[1])}
+    data = {**m._data, "index": ClassIndex.build(labels, m.label_num)}
 
     def one_round(state, class_id):
         def class_body(carry, cid):
