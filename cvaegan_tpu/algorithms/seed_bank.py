@@ -28,6 +28,15 @@ Typical use (the multi-seed study, `experiments/ours_multiseed.py`):
 Epoch-cadenced host diagnostics (`_on_chunk_end` hooks: TMG-GAN scatter
 snapshots, RAIN-GAN attention history) are SKIPPED in bank mode — they
 are per-replica host work; serial `fit` remains the path for those.
+
+The replica axis is embarrassingly data-parallel: pass `mesh=` (a
+`parallel.mesh.make_mesh` ('data','model') mesh) and the stacked
+state/data/keys are sharded over the mesh's 'data' axis — each device
+trains `K / n_data` replicas with ZERO collectives (replicas never
+communicate), so seed-parallel throughput scales linearly with chips.
+Measured single-chip saturation is K≈16 (`experiments/bank_scaling.py`),
+so a bank of 128 seeds on an 8-chip v5e slice runs at the same
+wall-clock as 16 seeds on one chip.
 """
 
 from __future__ import annotations
@@ -64,9 +73,17 @@ class SeedBank:
 
     def __init__(self, cls, seeds: Sequence[int],
                  settings: Optional[config_lib.Settings] = None,
-                 balanced_mode: bool = False, ema_filter: bool = False):
+                 balanced_mode: bool = False, ema_filter: bool = False,
+                 mesh=None):
         if len(seeds) == 0:
             raise ValueError("SeedBank needs at least one seed")
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if len(seeds) % n_data:
+                raise ValueError(
+                    f"{len(seeds)} seeds do not divide the mesh's "
+                    f"'data' axis ({n_data})")
+        self.mesh = mesh
         self.seeds = list(seeds)
         self.settings = settings or config_lib.settings
         try:
@@ -126,6 +143,24 @@ class SeedBank:
         ])
         state = _stack([t.state for t in self.trainers])
         keys = jnp.stack([t._next_key() for t in self.trainers])
+
+        if self.mesh is not None:
+            # Shard the replica (leading) axis over 'data'; replicas are
+            # independent, so the partitioned program has no collectives.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard_replica_axis(tree):
+                def put(x):
+                    spec = (P("data") if getattr(x, "ndim", 0) >= 1
+                            else P())
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, spec))
+
+                return jax.tree.map(put, tree)
+
+            state = shard_replica_axis(state)
+            data = shard_replica_axis(data)
+            keys = shard_replica_axis(keys)
 
         epochs = template.gan_cfg.epochs
         chunk = max(1, min(template.epoch_chunk, epochs))

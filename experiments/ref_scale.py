@@ -80,11 +80,18 @@ def main():
     utils.set_random_state(0)
     model = CVAEGAN()
 
-    # stage 3: the O(n^2) per-class dict build, standalone
+    # stage 3: the O(n^2) per-class dict build, standalone.
+    # IMPORTANT: reset the dict afterwards — the reference's
+    # `_divide_samples` APPENDS to `self.samples` (`src/cvae_gan.py:240-245`),
+    # so without the reset fit()'s internal call would re-concatenate
+    # onto the populated dict (measured at 1M frames: the second pass
+    # alone ran >5h and doubled every per-class tensor, tainting the
+    # fit timing AND the sampling distribution).
     t0 = time.time()
     model._divide_samples(datasets.TrDataset())
     rec["divide_samples_seconds"] = round(time.time() - t0, 1)
     print("divide_samples:", rec["divide_samples_seconds"], "s", flush=True)
+    model.samples = {}
 
     t0 = time.time()
     model.fit(datasets.TrDataset())

@@ -96,3 +96,47 @@ def test_bank_input_validation(fast_settings):
                     settings=fast_settings)
     with pytest.raises(ValueError, match="datasets"):
         bank.fit([TabularDataset.imbalanced_classification(seed=0)] * 3)
+
+
+def test_bank_sharded_over_mesh_matches_unsharded(fast_settings):
+    """`SeedBank(mesh=...)` shards the replica axis over the mesh's
+    'data' axis (zero collectives — replicas are independent); per-seed
+    losses must match the unsharded bank (identical math, different
+    layout)."""
+    from cvaegan_tpu.parallel import mesh as mesh_lib
+
+    fast_settings.gan.epochs = 2
+    ds = TabularDataset.imbalanced_classification(seed=0)
+
+    plain = SeedBank(cvaegan_tpu.CVAEGAN, seeds=[0, 1, 2, 3],
+                     settings=fast_settings, balanced_mode=True)
+    for t in plain.trainers:
+        t.verbose = False
+    plain.fit(ds)
+
+    mesh = mesh_lib.make_mesh(4, 1, jax.devices()[:4])
+    sharded = SeedBank(cvaegan_tpu.CVAEGAN, seeds=[0, 1, 2, 3],
+                       settings=fast_settings, balanced_mode=True,
+                       mesh=mesh)
+    for t in sharded.trainers:
+        t.verbose = False
+    sharded.fit(ds)
+
+    for tp, ts in zip(plain.trainers, sharded.trainers):
+        for k in tp.loss_history:
+            np.testing.assert_allclose(
+                np.asarray(ts.loss_history[k]),
+                np.asarray(tp.loss_history[k]),
+                rtol=0.02, atol=1e-3, err_msg=f"sharded bank {k}")
+    # trained replicas remain fully usable after the cross-device unstack
+    out = sharded.trainers[3].generate_samples(0, 5)
+    assert out.shape == (5, ds.tr_samples.shape[1])
+
+
+def test_bank_mesh_divisibility_validation(fast_settings):
+    from cvaegan_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(4, 1, jax.devices()[:4])
+    with pytest.raises(ValueError, match="divide"):
+        SeedBank(cvaegan_tpu.CVAEGAN, seeds=[0, 1, 2],
+                 settings=fast_settings, mesh=mesh)
