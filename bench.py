@@ -165,7 +165,39 @@ def main() -> None:
     }))
 
 
+def _await_axon_tunnel(max_wait: float = 600.0) -> None:
+    """If this host reaches the TPU through the axon TCP relay, wait for
+    the relay to accept connections before initialising jax.
+
+    The relay process occasionally dies (observed round 3: device init
+    then BLOCKS inside the axon client instead of raising, so the
+    existing retry-on-exception path never fires). Probing the relay
+    port and giving it a healing window turns that hang into a normal
+    run when the host restores the relay; if the port never opens we
+    proceed anyway (identical worst case, plus a diagnosable stderr
+    line) — never a false failure on non-relay setups.
+    """
+    import os
+    import socket
+    import sys
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return  # real local devices / CPU runs: no relay to probe
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                return
+        except OSError:
+            print("bench: axon relay port 8082 not accepting; waiting...",
+                  file=sys.stderr)
+            time.sleep(15)
+    print("bench: axon relay still unreachable after "
+          f"{max_wait:.0f}s; attempting device init anyway", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    _await_axon_tunnel()
     try:
         main()
     except Exception as e:  # axon tunnel occasionally drops; retry once
