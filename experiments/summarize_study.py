@@ -1,8 +1,12 @@
-"""Aggregate the multi-seed study JSONLs into a markdown table.
+"""Aggregate the multi-seed study JSONLs into markdown tables.
 
 Reads the reference-side and ours-side JSONL outputs
 (`experiments/ref_multiseed.py`, `experiments/ours_multiseed.py`) and
-prints mean±std macro-F1 and qualified-generation yield per model.
+prints mean±std macro-F1 and qualified-generation yield per model, plus
+(`--binary`) the companion binary-F1 table computed on the SAME runs
+and the SAME per-model mode the macro verdict selected (one pipeline
+produces both metrics; picking a different mode per metric would be
+cherry-picking).
 
 The verdict column is a Welch two-sample t-test on the per-seed
 macro-F1 of the reference vs our BETTER mode (strict = reference-parity
@@ -11,8 +15,14 @@ selection is disclosed in the Δ column which names the mode):
   win / LOSS    — significant at p < 0.05
   ahead/behind (ns) — not significant; statistical tie at these n
 
+A Benjamini-Hochberg line is printed under each table: with ~10 tests
+per metric, a single nominal p≈0.03 is within the multiple-comparisons
+false-positive envelope, so the summary separates BH-surviving calls
+from nominal ones (the same standard in both directions).
+
 Usage: python experiments/summarize_study.py \
-    [--ref /tmp/ref_multiseed.jsonl] [--ours /tmp/ours_multiseed.jsonl]
+    [--ref .../ref_multiseed.jsonl] [--ours .../ours_multiseed.jsonl] \
+    [--binary]
 """
 
 import argparse
@@ -38,13 +48,15 @@ def load(path):
     return rows
 
 
-def agg(rows, key_fn):
+def agg(rows, key_fn, metric="macro_f1"):
     groups = defaultdict(list)
     for r in rows:
+        if r.get(metric) is None:
+            continue
         groups[key_fn(r)].append(r)
     out = {}
     for k, rs in groups.items():
-        f1 = np.asarray([r["macro_f1"] for r in rs])
+        f1 = np.asarray([r[metric] for r in rs])
         gen = np.asarray([r["generated"] for r in rs])
         out[k] = {
             "n": len(rs),
@@ -82,15 +94,38 @@ def verdict_for(ours, ref, mode_name):
         # deterministic ties): the t-stat is 0/0. Equal means = an exact
         # tie; unequal zero-variance means differ with certainty.
         if diff == 0:
-            return f"exact tie ({mode_name}, both σ=0)"
+            return f"exact tie ({mode_name}, both σ=0)", diff, None
         word = "**win**" if diff > 0 else "LOSS"
-        return f"{word} ({diff:+.3f} {mode_name}, both σ=0)"
+        return f"{word} ({diff:+.3f} {mode_name}, both σ=0)", diff, 0.0
     sig = p < 0.05
     if diff >= 0:
         word = "**win**" if sig else "ahead (ns)"
     else:
         word = "LOSS" if sig else "behind (ns)"
-    return f"{word} ({diff:+.3f} {mode_name}, p={p:.2f})"
+    return f"{word} ({diff:+.3f} {mode_name}, p={p:.2f})", diff, p
+
+
+def bh_note(tests, label):
+    """Benjamini-Hochberg at q=0.05 over the (name, diff, p) tests that
+    were nominally significant; prints which calls survive."""
+    tested = [(name, d, p) for name, d, p in tests if p is not None]
+    m = len(tested)
+    if not m:
+        return
+    ranked = sorted(tested, key=lambda t: t[2])
+    surviving = set()
+    for i, (name, d, p) in enumerate(ranked, start=1):
+        if p <= 0.05 * i / m:
+            # BH: every test ranked <= the largest passing rank survives
+            surviving.update(n for n, _, _ in ranked[:i])
+    nominal = [n for n, d, p in tested if p < 0.05 and n not in surviving]
+    if surviving or nominal:
+        print(f"\nBH q=0.05 over the {m} {label} tests: "
+              f"surviving = {sorted(surviving) or '—'}; "
+              f"nominal (p<0.05 only) = {sorted(nominal) or '—'}")
+    else:
+        print(f"\nBH q=0.05 over the {m} {label} tests: "
+              "no nominally significant differences")
 
 
 def main():
@@ -100,10 +135,14 @@ def main():
                                         / "ref_multiseed.jsonl"))
     p.add_argument("--ours", default=str(here / "results"
                                          / "ours_multiseed.jsonl"))
+    p.add_argument("--binary", action="store_true",
+                   help="also print the binary-F1 table (same runs, "
+                        "same per-model mode as the macro verdict)")
     args = p.parse_args()
 
-    ref = agg(load(args.ref), lambda r: r["model"])
+    ref_rows = load(args.ref)
     ours_rows = load(args.ours)
+    ref = agg(ref_rows, lambda r: r["model"])
     ours_strict = agg([r for r in ours_rows if r["mode"] == "strict"],
                       lambda r: r["model"])
     ours_bal = agg([r for r in ours_rows if r["mode"] == "balanced"],
@@ -115,6 +154,8 @@ def main():
                 lambda r: f"{r['model']} [{r['mode']}]")
 
     models = sorted(set(ref) | set(ours_strict) | set(ours_bal))
+    chosen_mode = {}   # model -> mode the macro verdict used
+    macro_tests = []
     print("| Model | Reference (torch CPU) | Ours strict | Ours balanced "
           "| Verdict |")
     print("|---|---|---|---|---|")
@@ -126,14 +167,42 @@ def main():
                           ((s, "strict"), (b, "balanced")) if x]
             best, mode_name = max(candidates,
                                   key=lambda xn: xn[0]["f1_mean"])
-            verdict = verdict_for(best, r, mode_name)
+            chosen_mode[m] = mode_name
+            verdict, diff, pval = verdict_for(best, r, mode_name)
+            macro_tests.append((m, diff, pval))
         print(f"| {m} | {fmt(r)} | {fmt(s)} | {fmt(b)} | {verdict} |")
     for k in sorted(extra):
         e = extra[k]
         base = k.split(" ")[0]
         r = ref.get(base)
-        verdict = verdict_for(e, r, "variant") if r else "—"
+        if r:
+            verdict, diff, pval = verdict_for(e, r, "variant")
+            macro_tests.append((k, diff, pval))
+        else:
+            verdict = "—"
         print(f"| {k} | {fmt(r)} | {fmt(e)} | — | {verdict} |")
+    bh_note(macro_tests, "macro-F1")
+
+    if not args.binary:
+        return
+    ref_b = agg(ref_rows, lambda r: r["model"], metric="binary_f1")
+    binary_tests = []
+    print("\n| Model | Reference binary-F1 | Ours binary-F1 "
+          "(macro-verdict mode) | Verdict |")
+    print("|---|---|---|---|")
+    for m in models:
+        mode = chosen_mode.get(m)
+        if mode is None or m not in ref_b:
+            continue
+        o = agg([r for r in ours_rows if r["mode"] == mode
+                 and r["model"] == m],
+                lambda r: r["model"], metric="binary_f1").get(m)
+        if not o:
+            continue
+        verdict, diff, pval = verdict_for(o, ref_b[m], mode)
+        binary_tests.append((m, diff, pval))
+        print(f"| {m} | {fmt(ref_b[m])} | {fmt(o)} | {verdict} |")
+    bh_note(binary_tests, "binary-F1")
 
 
 if __name__ == "__main__":
