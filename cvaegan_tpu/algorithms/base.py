@@ -143,9 +143,8 @@ class GenerativeTrainer:
 
         cfg = self.gan_cfg
         if self.balanced_mode:
-            raw = jax.random.randint(key, (cfg.batch_size,), 0,
-                                     self.label_num)
-            return shard_leading(present_labels(raw, data["index"]))
+            return shard_leading(
+                present_labels(key, (cfg.batch_size,), data["index"]))
         return shard_leading(jnp.full((cfg.batch_size,), class_id, jnp.int32))
 
     def _class_rounds(self) -> int:
@@ -489,25 +488,43 @@ class GenerativeTrainer:
         assert self.state is not None, "call fit() first"
         if confidence_threshold is None:
             confidence_threshold = self.hparams.get("confidence_threshold", 0.5)
+        if num <= 0:
+            return np.empty((0, self.feature_num), np.float32)
 
         # Fully on-device rejection sampling: ONE dispatch runs the whole
         # generate->classify->filter->top-up loop as a lax.while_loop,
         # preserving the reference's observable semantics (threshold,
         # correct-class check, patience=20 consecutive empty candidate
         # batches, `src/cvae_gan.py:347-378`).
-        cand = int(max(256, min(4096, 2 * num)))
-        fn = self._gen_cache.get(("qualified", cand, num))
-        if fn is None:
+        #
+        # Compile economics (VERDICT r3 item 3): the wanted count is a
+        # TRACED scalar; only the buffer CAPACITY (a power-of-two bucket
+        # >= num) is baked into the program, and any cached program whose
+        # capacity covers `num` is reused. A balance pipeline's differing
+        # per-class needs therefore share one compiled while_loop (the
+        # pipeline requests the largest class first) instead of
+        # compiling one program per distinct need.
+        cached = sorted(key[1] for key in self._gen_cache
+                        if isinstance(key, tuple) and key[0] == "qualified"
+                        and key[1] >= num)
+        if cached:
+            cap = cached[0]
+            fn = self._gen_cache[("qualified", cap)]
+        else:
+            cap = 256
+            while cap < num:
+                cap *= 2
+            cand = min(4096, cap)
             z_size = self.gan_cfg.z_size
             feature_num = self.feature_num
 
-            def _qualified(state, key, target, threshold):
+            def _qualified(state, key, target, threshold, want):
                 labels = jnp.full((cand,), target, jnp.int32)
                 fstate = self._filter_state(state)
 
                 def cond(carry):
                     key, buf, count, patience = carry
-                    return (count < num) & (patience > 0)
+                    return (count < want) & (patience > 0)
 
                 def body(carry):
                     key, buf, count, patience = carry
@@ -520,8 +537,8 @@ class GenerativeTrainer:
                         jnp.argmax(probs, -1) == labels)
                     # Scatter the valid rows into the next free buffer slots.
                     slot = count + jnp.cumsum(valid) - 1
-                    ok = valid & (slot < num)
-                    slot = jnp.where(ok, slot, num)  # row `num` is a sink
+                    ok = valid & (slot < want)
+                    slot = jnp.where(ok, slot, cap)  # row `cap` is a sink
                     buf = buf.at[slot].set(
                         jnp.where(ok[:, None], x, buf[slot]))
                     n_new = jnp.sum(ok)
@@ -529,18 +546,19 @@ class GenerativeTrainer:
                                          jnp.int32(20))
                     return key, buf, count + n_new, patience
 
-                buf0 = jnp.zeros((num + 1, feature_num), jnp.float32)
+                buf0 = jnp.zeros((cap + 1, feature_num), jnp.float32)
                 _, buf, count, _ = jax.lax.while_loop(
                     cond, body,
                     (key, buf0, jnp.int32(0), jnp.int32(20)))
-                return buf[:num], count
+                return buf[:cap], count
 
             fn = jax.jit(_qualified)
-            self._gen_cache[("qualified", cand, num)] = fn
+            self._gen_cache[("qualified", cap)] = fn
 
         buf, count = fn(self.state, self._next_key(),
                         jnp.int32(target_label),
-                        jnp.float32(confidence_threshold))
+                        jnp.float32(confidence_threshold),
+                        jnp.int32(num))
         count = int(count)
         return np.asarray(buf)[:count]
 

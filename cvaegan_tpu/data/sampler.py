@@ -77,20 +77,27 @@ def sample_class_batch(
     return samples[rows]
 
 
-def present_labels(raw: jnp.ndarray, index: ClassIndex) -> jnp.ndarray:
-    """Map uniform draws over [0, label_num) to uniform draws over the
-    classes PRESENT in `index` (counts > 0).
+def present_labels(key: jax.Array, shape: Tuple[int, ...],
+                   index: ClassIndex) -> jnp.ndarray:
+    """Uniform label draws over the classes PRESENT in `index`
+    (counts > 0).
 
     Branch-free streamed-window support: a time-ordered corpus window may
     hold zero rows of a rare class; drawing its label would gather
-    padding rows (row 0) under a wrong label. When every class is
-    present this is bitwise the identity (modulo label_num + a stable
-    argsort that sorts nothing), so in-memory fits are unchanged.
+    padding rows (row 0) under a wrong label. The sparse-window draw uses
+    a traced maxval (`randint(key, shape, 0, n_present)`) — unbiased for
+    ANY present count, unlike a `% n_present` fold of a [0, label_num)
+    draw, which skews toward lower-ranked present classes whenever
+    n_present does not divide label_num. When every class is present the
+    select picks the plain [0, label_num) draw bitwise, so in-memory fits
+    are unchanged.
     """
     present = index.counts > 0
     n_present = jnp.maximum(jnp.sum(present), 1)
     order = jnp.argsort(~present, stable=True)  # present first, original order
-    return order[raw % n_present]
+    raw = jax.random.randint(key, shape, 0, index.label_num)
+    unbiased = jax.random.randint(key, shape, 0, n_present)
+    return jnp.where(n_present == index.label_num, raw, order[unbiased])
 
 
 def sample_balanced_batch(
@@ -110,8 +117,7 @@ def sample_balanced_batch(
     from cvaegan_tpu.parallel.mesh import shard_leading
 
     k_lab, k_row = jax.random.split(key)
-    labels = shard_leading(present_labels(
-        jax.random.randint(k_lab, (batch_size,), 0, index.label_num), index))
+    labels = shard_leading(present_labels(k_lab, (batch_size,), index))
     counts = jnp.maximum(index.counts[labels], 1)
     r = jax.random.randint(k_row, (batch_size,), 0, jnp.iinfo(jnp.int32).max)
     rows = index.table[labels, r % counts]  # sharding follows `labels`

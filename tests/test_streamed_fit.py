@@ -126,19 +126,31 @@ def test_guard_masks_absent_class_round(fast_settings):
 def test_present_labels_remap():
     """Uniform label draws remap to present classes only — and are the
     bitwise identity when every class is present."""
-    import jax.numpy as jnp
+    import jax
 
     from cvaegan_tpu.data.sampler import ClassIndex, present_labels
 
-    raw = jnp.asarray(np.random.default_rng(0).integers(0, 4, 1000))
+    key = jax.random.PRNGKey(0)
+    n = 6000
     all_present = ClassIndex.build(np.arange(400) % 4, 4)
-    np.testing.assert_array_equal(present_labels(raw, all_present), raw)
-    # classes 1 and 3 absent
+    raw = jax.random.randint(key, (n,), 0, 4)
+    np.testing.assert_array_equal(
+        present_labels(key, (n,), all_present), raw)
+    # classes 1 and 3 absent (divisible present count)
     sparse = ClassIndex.build(np.asarray([0, 0, 2, 2, 2]), 4)
-    got = np.asarray(present_labels(raw, sparse))
+    got = np.asarray(present_labels(key, (n,), sparse))
     assert set(got) == {0, 2}
     frac = np.bincount(got, minlength=4) / len(got)
-    assert abs(frac[0] - 0.5) < 0.06 and abs(frac[2] - 0.5) < 0.06
+    assert abs(frac[0] - 0.5) < 0.03 and abs(frac[2] - 0.5) < 0.03
+    # 3 of 4 classes present: a `% n_present` fold of a [0, 4) draw would
+    # give the first present class 1/2 and the others 1/4 each (modulo
+    # bias, ADVICE r3); the dynamic-maxval draw must be uniform at 1/3.
+    three = ClassIndex.build(np.asarray([0, 0, 1, 1, 3, 3]), 4)
+    got3 = np.asarray(present_labels(key, (n,), three))
+    assert set(got3) == {0, 1, 3}
+    frac3 = np.bincount(got3, minlength=4) / len(got3)
+    for c in (0, 1, 3):
+        assert abs(frac3[c] - 1 / 3) < 0.03, frac3
 
 
 def test_fit_streamed_feature_mismatch_raises(tmp_path, fast_settings):
