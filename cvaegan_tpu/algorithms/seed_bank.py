@@ -108,7 +108,15 @@ class SeedBank:
         """Train all replicas; `datasets` is one dataset (shared by every
         replica) or a sequence of exactly `len(seeds)` datasets (the
         multi-seed-study protocol: per-seed fixtures). Returns
-        `self.trainers`."""
+        `self.trainers`.
+
+        Calling `fit` again on an already-fitted bank CONTINUES training
+        from the trained replica states for another `settings.gan.epochs`
+        (each trainer's `_prepare` keeps non-None state), mirroring the
+        serial trainers' `fit` semantics. To restart from scratch,
+        construct a fresh `SeedBank`. bench.py exploits the continuation:
+        its second `bank.fit` reuses the compiled runner for a
+        steady-state timing, at the cost of doubling the trained epochs."""
         t0 = time.time()
         if not isinstance(datasets, (list, tuple)):
             datasets = [datasets] * len(self.trainers)
