@@ -18,6 +18,21 @@ Design notes (TPU-first, not a port):
     train step runs on 1 chip or a pod (see `cvaegan_tpu.parallel`).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache for EVERY user of the package, not just
+# the pipeline CLIs (VERDICT r3: cold-compile dominates real pipelines;
+# `import cvaegan_tpu; m.fit(ds)` previously got nothing). Respects an
+# explicit user setting (env JAX_COMPILATION_CACHE_DIR or a prior
+# jax.config.update); override the default location with
+# CVAEGAN_TPU_CACHE_DIR, or set it empty to disable.
+_cache_dir = _os.environ.get("CVAEGAN_TPU_CACHE_DIR", "/tmp/jaxcache")
+if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from cvaegan_tpu.algorithms.cvae_gan import CVAEGAN
 from cvaegan_tpu.algorithms.cvae import CVAE
 from cvaegan_tpu.algorithms.vae import VAE
