@@ -72,13 +72,15 @@ def _gen_rate(m, fused: bool):
     labels = jnp.zeros((GEN_BATCH,), jnp.int32)
     onehot = jax.nn.one_hot(labels, m.label_num)
     z_size = m.gan_cfg.z_size
+    interpret = jax.default_backend() != "tpu"  # Pallas CPU needs interpret
 
     def run(state, key, n):
         def body(acc, k):
             z = jax.random.normal(k, (GEN_BATCH, z_size))
             if fused:
                 x = fused_k.fast_generator_forward(state["generator"], z,
-                                                   onehot)
+                                                   onehot,
+                                                   interpret=interpret)
             else:
                 x = m._generator_forward(state, z, labels, None)
             return acc + jnp.mean(x), None

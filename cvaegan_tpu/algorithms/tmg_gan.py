@@ -145,7 +145,7 @@ class TMGGAN(GenerativeTrainer):
                 {"params": cp, **c.mutables}, both, train=True,
                 rngs={"dropout": k_d}, mutable=["spectral"],
             )
-            s_real, s_fake = jnp.split(scores, 2, axis=0)
+            s_real, s_fake = jnp.split(scores.astype(jnp.float32), 2, axis=0)
             probs_real = probs[: cfg.batch_size]
             d_loss = (jnp.mean(s_fake) - jnp.mean(s_real)) / 2.0
             # CE over softmax outputs — faithful reference quirk.
@@ -186,7 +186,7 @@ class TMGGAN(GenerativeTrainer):
                 rngs={"dropout": k_d2}, mutable=["spectral"],
             )
             cos = losses.cosine_similarity(hidden_real, hidden_fake)
-            g_loss = (-jnp.mean(s_fake)
+            g_loss = (-jnp.mean(s_fake.astype(jnp.float32))
                       + losses.cross_entropy(probs_fake, y)
                       - cos_gate * cos)
             return g_loss, {"g_muts": dict(new_g_muts), "cd_muts": dict(m2),
@@ -224,6 +224,7 @@ class TMGGAN(GenerativeTrainer):
                 return hidden, dict(new_m)
 
             hidden, new_muts = jax.vmap(fwd)(stacked_params, gens.mutables, z)
+            hidden = hidden.astype(jnp.float32)
             hn = hidden / (jnp.linalg.norm(hidden, axis=-1, keepdims=True) + 1e-8)
             # mean pairwise row-wise cosine over ordered pairs i != j
             cos_mat = jnp.einsum("ikd,jkd->ijk", hn, hn)
@@ -333,7 +334,14 @@ class TMGGAN(GenerativeTrainer):
             fn = jax.jit(_qualified)
             self._gen_cache["qualified"] = fn
 
-        cand = max(256, min(4096, 2 * num))
+        # pow2-bucketed candidate batch, never shrinking: the jitted
+        # filter is shape-keyed on `cand`, so distinct per-class needs
+        # would otherwise each retrace it (VERDICT r3 item 3).
+        cand = 256
+        while cand < min(4096, 2 * num):
+            cand *= 2
+        cand = max(cand, self._gen_cache.get("qualified_cand", 0))
+        self._gen_cache["qualified_cand"] = cand
         labels = jnp.full((cand,), target_label, jnp.int32)
         collected, total, empty_rounds = [], 0, 0
         while total < num:
