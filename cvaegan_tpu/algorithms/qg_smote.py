@@ -39,7 +39,12 @@ from cvaegan_tpu.models.quantile import (
 )
 from cvaegan_tpu.parallel.mesh import shard_leading
 
-QUANTILE_LEVELS = jnp.asarray([0.25, 0.5, 0.75])
+# Plain tuple, NOT a jnp array: a module-level device array would
+# initialize the XLA backend at `import cvaegan_tpu`, which breaks
+# jax.distributed.initialize() (it must run before any backend init)
+# and slows library import. Converted to an array inside the traced
+# loss (a constant there anyway).
+QUANTILE_LEVELS = (0.25, 0.5, 0.75)
 
 
 class QG_SMOTE(GenerativeTrainer):
@@ -161,7 +166,7 @@ class QG_SMOTE(GenerativeTrainer):
                              rngs={"dropout": k_drop})
             # pred: [b, features, nq]; pinball expects [b, nq, dims]
             loss = losses.pinball(pred.transpose(0, 2, 1), x_real,
-                                  QUANTILE_LEVELS)
+                                  jnp.asarray(QUANTILE_LEVELS))
             return loss, {"mutables": r.mutables}
 
         new_r, aux = grad_update(r, self.txs["regressor"], loss_fn)
