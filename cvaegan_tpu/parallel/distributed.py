@@ -9,6 +9,13 @@ routes collectives over ICI within a slice and DCN across slices.
 
 Single-host usage needs none of this; `cvaegan_tpu.parallel.mesh` works
 directly on the local devices.
+
+Verification level: `initialize()` is exercised in LOOPBACK form (a
+1-process jax.distributed cluster + a global-mesh epoch,
+`tests/test_parallel.py::test_distributed_initialize_loopback_smoke`);
+real multi-host coordination cannot be verified in a single-host
+environment — treat this module as the standard recipe, validated to
+the loopback boundary.
 """
 
 from __future__ import annotations

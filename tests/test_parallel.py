@@ -86,6 +86,59 @@ def test_sharded_epoch_matches_single_device(model_name, blob_dataset,
         np.testing.assert_allclose(single[k], sharded[k], rtol=5e-2, atol=5e-3)
 
 
+@pytest.mark.parametrize("model_name", ["CVAEGAN", "TMGGAN"])
+def test_sharded_full_fit_parity(model_name, blob_dataset, fast_settings):
+    """Full-fit (50-epoch) sharded-vs-single parity for the two
+    structurally hardest trainers (VERDICT r3 item 7a). Bit parity over
+    3250 sequential optimizer updates is not the oracle — sharded
+    reductions reorder fp32 sums and GAN dynamics amplify the drift —
+    so the contract is: (1) the first epoch matches tightly (identical
+    math, different layout), (2) the converged regime matches
+    statistically (mean of the last 10 epochs per loss), and (3) the
+    mesh-sharded trained state drives qualified generation."""
+    import cvaegan_tpu
+
+    cls = getattr(cvaegan_tpu, model_name)
+    fast_settings.gan.batch_size = 32  # divides the 4-way data axis
+    fast_settings.gan.epochs = 50
+
+    def full_fit(use_mesh):
+        m = cls()
+        m._prepare(blob_dataset)
+        if use_mesh:
+            mesh = mesh_lib.make_mesh(4, 2)
+            shardings = mesh_lib.shard_net_state(m.state, mesh)
+            m.state = mesh_lib.place(m.state, shardings)
+            m._data = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                m._data)
+            with mesh_lib.use_mesh(mesh):
+                m._fit_prepared(50)
+                try:
+                    q = m.generate_qualified_samples(
+                        0, 8, confidence_threshold=0.0)
+                except TypeError:  # TMG-GAN filter takes no threshold
+                    q = m.generate_qualified_samples(0, 8)
+            assert q.shape[1:] == (blob_dataset.feature_num,)
+            assert np.isfinite(q).all()
+        else:
+            m._fit_prepared(50)
+        return m.loss_history
+
+    single = full_fit(False)
+    sharded = full_fit(True)
+    for k in single:
+        s, u = np.asarray(sharded[k]), np.asarray(single[k])
+        assert s.shape == u.shape == (50,)
+        assert np.isfinite(s).all() and np.isfinite(u).all()
+        np.testing.assert_allclose(s[0], u[0], rtol=5e-2, atol=5e-3,
+                                   err_msg=f"epoch-0 {k}")
+        ms, mu = s[-10:].mean(), u[-10:].mean()
+        tol = max(0.1, 0.5 * max(abs(ms), abs(mu)))
+        assert abs(ms - mu) <= tol, (
+            f"converged-regime {k}: sharded {ms:.4f} vs single {mu:.4f}")
+
+
 def test_graft_entry_dryrun():
     import importlib.util
     import pathlib
@@ -108,6 +161,60 @@ def test_global_mesh_and_distributed_helpers():
     assert mesh.shape == {"data": 4, "model": 2}
     with pytest.raises(ValueError, match="does not divide"):
         distributed.global_mesh(n_model=3)
+
+
+def test_distributed_initialize_loopback_smoke():
+    """`parallel.distributed.initialize` actually joins a (1-process)
+    jax.distributed cluster and the global mesh trains an epoch — the
+    loopback form of the multi-host recipe (VERDICT r3 weak-item 6; real
+    multi-host is unverifiable in this environment). Runs in a
+    subprocess: initialize() mutates process-global state."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from cvaegan_tpu.parallel import distributed, mesh as mesh_lib
+        distributed.initialize(coordinator_address="127.0.0.1:29517",
+                               num_processes=1, process_id=0)
+        assert jax.process_count() == 1
+        assert not distributed.is_multi_host()
+        mesh = distributed.global_mesh(n_model=1)
+
+        import numpy as np
+        from cvaegan_tpu.core import config as cl
+        cl.settings.gan.epochs = 1
+        import cvaegan_tpu
+        from cvaegan_tpu.data.tabular import TabularDataset
+        ds = TabularDataset.synthetic_blobs(seed=0)
+        m = cvaegan_tpu.CVAEGAN()
+        m.verbose = False
+        m._prepare(ds)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        m._data = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), m._data)
+        with mesh_lib.use_mesh(mesh):
+            m._fit_prepared(1)
+        assert all(np.isfinite(v).all() for v in m.loss_history.values())
+        print("LOOPBACK_OK")
+    """)
+    import os
+
+    env = dict(**os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize (on PYTHONPATH) initializes the XLA backend
+    # at interpreter start, which jax.distributed.initialize forbids —
+    # drop it for this CPU-only subprocess.
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if "axon" not in p)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "LOOPBACK_OK" in r.stdout
 
 
 def test_balanced_batch_sampler_distribution():
