@@ -443,7 +443,9 @@ class GenerativeTrainer:
             self._gen_cache["gen"] = fn
         labels = jnp.full((num,), target_label, jnp.int32)
         out = fn(self.state, self._next_key(), labels)
-        return np.asarray(out)
+        # f32 at the API boundary (generator outputs are bf16 under the
+        # mixed-precision compute policy; numpy consumers expect f32).
+        return np.asarray(out, np.float32)
 
     def generate_samples_fast(self, target_label: int, num: int) -> np.ndarray:
         """Prior sampling through the fused Pallas MLP kernel
@@ -475,7 +477,8 @@ class GenerativeTrainer:
             fn = jax.jit(_gen)
             self._gen_cache["gen_fast"] = fn
         labels = jnp.full((num,), target_label, jnp.int32)
-        return np.asarray(fn(self.state, self._next_key(), labels))
+        return np.asarray(fn(self.state, self._next_key(), labels),
+                          np.float32)
 
     def generate_qualified_samples(
         self, target_label: int, num: int,

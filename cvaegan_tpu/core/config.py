@@ -32,6 +32,20 @@ class GanConfig:
     # `src/cvae_gan.py:75-97`).
     adam_b1: float = 0.5
     adam_b2: float = 0.999
+    # Mixed-precision compute policy: "float32" (default, reference
+    # parity) or "bfloat16". Under bfloat16 every dense matmul in the
+    # model zoo runs with bf16 operands (the TPU MXU's native input
+    # format, 2x the fp32 MXU peak) and activations flow bf16 between
+    # layers, while PARAMETERS, Adam state, gradients-as-applied, batch
+    # norm statistics, and every loss reduction stay float32 (master
+    # weights — preserves the reference's convergence envelope; the
+    # quality parity study is experiments/bank_scaling.py --dtype
+    # bfloat16 + BASELINE.md). The policy is read from the PROCESS-WIDE
+    # `settings` instance at TRACE time (mirroring the reference's
+    # module-global config semantics): set it before building/fitting a
+    # trainer; already-compiled programs keep the policy they were
+    # traced under.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass

@@ -23,15 +23,25 @@ class AttentionRowEntropy(NamedTuple):
     value: jnp.ndarray
 
 
+def _f32(*xs):
+    """Promote loss inputs to f32: every reduction below is computed in
+    full precision regardless of the model's compute-dtype policy
+    (`models.layers.compute_dtype`) — the standard mixed-precision rule
+    (bf16 matmuls, f32 losses). No-op casts under the f32 default."""
+    out = tuple(jnp.asarray(x, jnp.float32) for x in xs)
+    return out[0] if len(out) == 1 else out
+
 def mse(x_hat: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Mean-squared-error reconstruction loss (reference
     `src/cvae_gan.py:190` uses `F.mse_loss` with default mean reduction)."""
+    x_hat, x = _f32(x_hat, x)
     return jnp.mean(jnp.square(x_hat - x))
 
 
 def kl_standard_normal(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
     """KL(q(z|x) || N(0, I)) summed over latent dims, averaged over batch
     (reference `src/cvae_gan.py:191`)."""
+    mu, log_var = _f32(mu, log_var)
     kl = -0.5 * jnp.sum(1.0 + log_var - jnp.square(mu) - jnp.exp(log_var))
     return kl / mu.shape[0]
 
@@ -39,7 +49,7 @@ def kl_standard_normal(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean softmax cross entropy with integer labels (reference uses
     `F.cross_entropy`, e.g. `src/cvae_gan.py:148-153`)."""
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    log_probs = jax.nn.log_softmax(_f32(logits), axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)
 
@@ -49,7 +59,7 @@ def weighted_cross_entropy(
 ) -> jnp.ndarray:
     """Cross entropy with per-example weights; used for padded batches where
     padding rows get weight 0. Normalises by the weight sum."""
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    log_probs = jax.nn.log_softmax(_f32(logits), axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
     return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
@@ -57,18 +67,20 @@ def weighted_cross_entropy(
 def wasserstein_d_loss(d_real: jnp.ndarray, d_fake: jnp.ndarray) -> jnp.ndarray:
     """Sign-style critic loss `-E[D(x)] + E[D(G(z))]` (reference
     `src/cvae_gan.py:117-127`)."""
+    d_real, d_fake = _f32(d_real, d_fake)
     return -jnp.mean(d_real) + jnp.mean(d_fake)
 
 
 def wasserstein_g_loss(d_fake: jnp.ndarray) -> jnp.ndarray:
     """Generator adversarial term `-E[D(G(z))]` (reference
     `src/cvae_gan.py:195-196`)."""
-    return -jnp.mean(d_fake)
+    return -jnp.mean(_f32(d_fake))
 
 
 def hinge_d_loss(d_real: jnp.ndarray, d_fake: jnp.ndarray) -> jnp.ndarray:
     """Hinge critic loss `E[relu(1-D(x))] + E[relu(1+D(G))]` (reference
     `src/sngan.py:100-110`)."""
+    d_real, d_fake = _f32(d_real, d_fake)
     return jnp.mean(jax.nn.relu(1.0 - d_real)) + jnp.mean(jax.nn.relu(1.0 + d_fake))
 
 
@@ -82,6 +94,7 @@ def pinball(pred: jnp.ndarray, target: jnp.ndarray, quantiles: jnp.ndarray) -> j
 
     Reference behaviour: `src/qg_smote.py:272-294` (levels [.25, .5, .75]).
     """
+    pred, target = _f32(pred, target)
     diff = target[:, None, :] - pred
     q = quantiles[None, :, None]
     return jnp.mean(jnp.maximum(q * diff, (q - 1.0) * diff))
@@ -93,7 +106,8 @@ def attention_entropy(attn_probs, eps: float = 1e-9) -> jnp.ndarray:
     `AttentionRowEntropy` (precomputed per-row entropies from the blockwise
     kernel) and returns its mean."""
     if isinstance(attn_probs, AttentionRowEntropy):
-        return jnp.mean(attn_probs.value)
+        return jnp.mean(_f32(attn_probs.value))
+    attn_probs = _f32(attn_probs)
     return jnp.mean(-jnp.sum(attn_probs * jnp.log(attn_probs + eps), axis=-1))
 
 
@@ -121,6 +135,7 @@ def gradient_penalty(
 def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Row-wise cosine similarity, mean over batch (reference TMG-GAN
     hidden-feature term, `src/tmg_gan.py:89-119`)."""
+    a, b = _f32(a, b)
     na = jnp.sqrt(jnp.sum(a * a, axis=-1) + eps)
     nb = jnp.sqrt(jnp.sum(b * b, axis=-1) + eps)
     return jnp.mean(jnp.sum(a * b, axis=-1) / (na * nb))

@@ -214,10 +214,17 @@ class Classifier:
         ekeys = jax.random.split(self._next_key(), epochs)
         chunk = max(1, min(epochs, self.FIT_STEPS_PER_DISPATCH // nb))
         params, mutables = self.params, self.mutables
-        for start in range(0, epochs, chunk):
-            params, mutables, opt_state = train(
-                params, mutables, opt_state, ekeys[start:start + chunk],
-                x_dev, y_dev, w)
+        # Evaluation instrument precision pin: the downstream classifier
+        # always trains f32 even when the generative models under study
+        # run the bf16 compute policy (models.layers.dtype_override) —
+        # the override covers the calls because jit traces on first call.
+        from cvaegan_tpu.models.layers import dtype_override
+
+        with dtype_override(jnp.float32):
+            for start in range(0, epochs, chunk):
+                params, mutables, opt_state = train(
+                    params, mutables, opt_state, ekeys[start:start + chunk],
+                    x_dev, y_dev, w)
         self.params, self.mutables = params, mutables
         return opt_state
 
@@ -292,6 +299,8 @@ class Classifier:
     PREDICT_CHUNK = 65536
 
     def _logits(self, x: np.ndarray) -> np.ndarray:
+        from cvaegan_tpu.models.layers import dtype_override
+
         fn = getattr(self, "_logits_fn", None)
         if fn is None:
             def _eval(p, m, v):
@@ -301,19 +310,20 @@ class Classifier:
             fn = jax.jit(_eval)
             self._logits_fn = fn
         n, chunk = len(x), self.PREDICT_CHUNK
-        if n <= chunk:
-            return np.asarray(fn(self.params, self.mutables,
-                                 jnp.asarray(x, jnp.float32)))
-        outs = []
-        for i in range(0, n, chunk):
-            part = x[i:i + chunk]
-            pad = chunk - len(part)
-            if pad:
-                part = np.concatenate([part, part[-1:].repeat(pad, 0)])
-            got = np.asarray(fn(self.params, self.mutables,
-                                jnp.asarray(part, jnp.float32)))
-            outs.append(got[:chunk - pad] if pad else got)
-        return np.concatenate(outs, axis=0)
+        with dtype_override(jnp.float32):  # instrument stays f32 (see fit)
+            if n <= chunk:
+                return np.asarray(fn(self.params, self.mutables,
+                                     jnp.asarray(x, jnp.float32)))
+            outs = []
+            for i in range(0, n, chunk):
+                part = x[i:i + chunk]
+                pad = chunk - len(part)
+                if pad:
+                    part = np.concatenate([part, part[-1:].repeat(pad, 0)])
+                got = np.asarray(fn(self.params, self.mutables,
+                                    jnp.asarray(part, jnp.float32)))
+                outs.append(got[:chunk - pad] if pad else got)
+            return np.concatenate(outs, axis=0)
 
     def predict(self, x, use_prob: bool = False) -> np.ndarray:
         logits = self._logits(np.asarray(x, np.float32))

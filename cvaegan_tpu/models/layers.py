@@ -21,7 +21,48 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from cvaegan_tpu.core import config as config_lib
 from cvaegan_tpu.core import initializers as init
+
+
+_DTYPE_OVERRIDE = None
+
+
+def compute_dtype() -> jnp.dtype:
+    """The active matmul/activation dtype (`settings.gan.compute_dtype`).
+
+    Consulted at TRACE time by every dense layer below, so one flag flips
+    the whole model zoo to bf16 compute with f32 parameters/optimizer
+    (see the policy note on `core.config.GanConfig.compute_dtype`).
+    Under the default "float32" the casts below are no-ops and the
+    compiled programs are bitwise-identical to the pre-policy ones.
+    """
+    if _DTYPE_OVERRIDE is not None:
+        return _DTYPE_OVERRIDE
+    return jnp.dtype(config_lib.settings.gan.compute_dtype)
+
+
+class dtype_override:
+    """Pin `compute_dtype()` inside a `with` block, regardless of the
+    global policy. Used by the downstream evaluation classifier to stay
+    f32 while the generative models under study run bf16 — the
+    measurement instrument's precision must not move with the thing it
+    measures. Wrap the region where the jitted program is TRACED (the
+    first call), not just where it executes."""
+
+    def __init__(self, dtype):
+        self.dtype = jnp.dtype(dtype)
+
+    def __enter__(self):
+        global _DTYPE_OVERRIDE
+        self._old = _DTYPE_OVERRIDE
+        _DTYPE_OVERRIDE = self.dtype
+        return self
+
+    def __exit__(self, *exc):
+        global _DTYPE_OVERRIDE
+        _DTYPE_OVERRIDE = self._old
+        return False
 
 
 def hidden_sizes(total_input_dim: int, pin_h3: bool = False) -> Sequence[int]:
@@ -82,11 +123,15 @@ class SpectralDense(nn.Module):
             u = jax.lax.stop_gradient(u_var.value)
             v = jax.lax.stop_gradient(v_var.value)
 
+        # Power iteration and sigma stay f32 regardless of the compute
+        # policy (singular-value estimates degrade fast in bf16); only
+        # the normalized matmul runs at compute dtype.
         sigma = jnp.einsum("i,io,o->", v, kernel, u)
-        y = x @ (kernel / sigma)
+        dt = compute_dtype()
+        y = x.astype(dt) @ (kernel / sigma).astype(dt)
         if self.use_bias:
             bias = self.param("bias", init.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(dt)
         return y
 
 
@@ -99,9 +144,10 @@ class Dense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param("kernel", init.dense_kernel, (x.shape[-1], self.features))
-        y = x @ kernel
+        dt = compute_dtype()
+        y = x.astype(dt) @ kernel.astype(dt)
         if self.use_bias:
-            y = y + self.param("bias", init.zeros, (self.features,))
+            y = y + self.param("bias", init.zeros, (self.features,)).astype(dt)
         return y
 
 
@@ -111,13 +157,17 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        return nn.BatchNorm(
+        # Statistics (and the running batch_stats collection) are always
+        # f32 — bf16 mean/variance estimates are the classic mixed-
+        # precision instability; the output drops back to compute dtype.
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             scale_init=init.bn_scale,
             bias_init=init.zeros,
-        )(x)
+        )(x.astype(jnp.float32))
+        return y.astype(compute_dtype())
 
 
 class MLPTrunk(nn.Module):

@@ -168,7 +168,11 @@ class Classifier(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(0.3, deterministic=not train)(h)
         h = dense(h2, h)
-        h = nn.LayerNorm(epsilon=1e-5)(h)
+        # LayerNorm statistics in f32 under the bf16 compute policy (same
+        # rule as layers.BatchNorm); no-op casts under the f32 default.
+        from cvaegan_tpu.models.layers import compute_dtype
+        h = nn.LayerNorm(epsilon=1e-5)(h.astype(jnp.float32))
+        h = h.astype(compute_dtype())
         h = nn.relu(h)
         h = nn.Dropout(0.3, deterministic=not train)(h)
         h = dense(h3, h)

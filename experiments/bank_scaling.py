@@ -6,9 +6,18 @@ banks, K in {1, 8, 16, 32, 64} — validating the roofline note's claim
 that replica batching, not bigger kernels, is how this workload scales
 until HBM becomes the wall.
 
-Usage (TPU, serialize): python experiments/bank_scaling.py
+Usage (TPU, serialize): python experiments/bank_scaling.py [--dtype bfloat16]
+
+--dtype bfloat16 re-measures the curve under the mixed-precision compute
+policy (`settings.gan.compute_dtype`: bf16 matmuls/activations, f32
+params/Adam/stats — VERDICT r3 item 2's direct test of whether halving
+matmul-operand precision moves the HBM/latency-bound SeedBank plateau).
+MFU under bf16 is reported against the same 197-TFLOP/s bf16 peak the
+f32 table uses (the v5e MXU's native accumulate path), so rows are
+comparable.
 """
 
+import argparse
 import json
 import pathlib
 import sys
@@ -89,12 +98,23 @@ def bank_rate(k: int):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--ks", type=int, nargs="*", default=[1, 8, 16, 32, 64])
+    args = ap.parse_args()
+
+    from cvaegan_tpu.core import config as cl
+    cl.settings.gan.compute_dtype = args.dtype
+
     out = []
-    for k in (1, 8, 16, 32, 64):
+    for k in args.ks:
         rec = bank_rate(k)
+        rec["compute_dtype"] = args.dtype
         out.append(rec)
         print(json.dumps(rec), flush=True)
-    path = HERE / "results" / "bank_scaling.json"
+    suffix = "" if args.dtype == "float32" else "_bf16"
+    path = HERE / "results" / f"bank_scaling{suffix}.json"
     path.write_text(json.dumps(out, indent=1))
 
 

@@ -153,7 +153,20 @@ def main():
     p.add_argument("--bank", action="store_true",
                    help="vmapped seed-parallel fit per (model, mode) "
                         "(SeedBank): all seeds train in one XLA program")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute-dtype policy for the GAN fits (the bf16 "
+                        "quality-parity arm of VERDICT r3 item 2); the "
+                        "downstream classifier always evaluates f32. "
+                        "Tags mode +bf16 so rows stay distinguishable.")
     args = p.parse_args()
+
+    dtype_tag = ""
+    if args.dtype != "float32":
+        from cvaegan_tpu.core import config as config_lib
+
+        config_lib.settings.gan.compute_dtype = args.dtype
+        dtype_tag = "+bf16"
 
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -175,7 +188,7 @@ def main():
                 if balanced and not MODELS[model_name][1]:
                     continue
                 mode_tag = mode + ("+fresh_clf" if args.no_warm_start
-                                   else "")
+                                   else "") + dtype_tag
                 run_bank(model_name, args.seeds, args.fixtures, balanced,
                          out, done, mode_tag, args.threshold,
                          warm_start=not args.no_warm_start)
@@ -189,7 +202,7 @@ def main():
                 if balanced and not MODELS[model_name][1]:
                     continue
                 mode_tag = mode + ("+fresh_clf" if args.no_warm_start
-                                   else "")
+                                   else "") + dtype_tag
                 key = (model_name, seed, mode_tag, args.threshold)
                 if key in done:
                     print(f"skip {key} (done)", flush=True)
