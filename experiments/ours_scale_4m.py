@@ -77,6 +77,11 @@ def main():
                         "is appended per run for multi-seed stats")
     p.add_argument("--append", action="store_true",
                    help="append a JSON line to --out instead of overwriting")
+    p.add_argument("--faithful", action="store_true",
+                   help="emit the schema-faithful Car-Hacking stand-in "
+                        "(published proportions + burst structure, "
+                        "scripts/prepare_can_dataset.synthetic_car_hacking) "
+                        "instead of the generic imbalanced corpus")
     args = p.parse_args()
 
     import sys
@@ -94,7 +99,16 @@ def main():
     root = pathlib.Path(args.data)
     if not (root / "x_train.csv").exists():
         t0 = time.time()
-        emit_corpus(root, args.frames)
+        if args.faithful:
+            from scripts.prepare_can_dataset import (
+                synthetic_car_hacking, write_split)
+
+            x, y, meta = synthetic_car_hacking(args.frames, seed=0)
+            write_split(root, x, y, 5, test_size=0.1, seed=0)
+            rec["corpus"] = "car_hacking_faithful"
+            rec["class_proportions"] = meta["achieved_proportions"]
+        else:
+            emit_corpus(root, args.frames)
         rec["emit_seconds"] = round(time.time() - t0, 1)
         print("corpus emitted:", rec.get("emit_seconds"), "s", flush=True)
 
@@ -108,8 +122,9 @@ def main():
     ds = TabularDataset.from_csv_dir(root).renormalized()
     rec["load_seconds"] = round(time.time() - t0, 1)
     rec["train_rows"] = int(len(ds.tr_samples))
-    expected = int(sum(int(args.frames * f) for f in
-                       [0.75, 0.10, 0.075, 0.05, 0.025]) * 0.9)
+    expected = (int(args.frames * 0.9) if args.faithful
+                else int(sum(int(args.frames * f) for f in
+                             [0.75, 0.10, 0.075, 0.05, 0.025]) * 0.9))
     if abs(rec["train_rows"] - expected) > max(10, expected // 100):
         raise SystemExit(
             f"stale corpus in {root}: {rec['train_rows']} train rows but "
