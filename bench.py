@@ -176,14 +176,18 @@ def worker_main() -> None:
     # CONTINUES training (SeedBank.fit keeps trained state, documented)
     # and reuses the jitted runner — steady state, same warmup pattern as
     # the primary metric; the timed work per fit is identical.
-    from cvaegan_tpu.algorithms.seed_bank import SeedBank
+    # Skipped on the relay-down CPU fallback: 16 full CPU fits would blow
+    # the worker deadline (the flag on the JSON line explains the 0).
+    bank_rate = 0.0
+    if not os.environ.get("BENCH_RELAY_DOWN"):
+        from cvaegan_tpu.algorithms.seed_bank import SeedBank
 
-    bank = SeedBank(CVAEGAN, seeds=range(16))
-    for t in bank.trainers:
-        t.verbose = False
-    bank.fit(ds)
-    bank.fit(ds)
-    bank_rate = bank.steps_per_sec
+        bank = SeedBank(CVAEGAN, seeds=range(16))
+        for t in bank.trainers:
+            t.verbose = False
+        bank.fit(ds)
+        bank.fit(ds)
+        bank_rate = bank.steps_per_sec
 
     print(json.dumps({
         "metric": "cvae_gan_train_steps_per_sec_per_chip",
@@ -200,6 +204,10 @@ def worker_main() -> None:
         "seed_bank_16x_steps_per_sec": round(bank_rate, 2),
         "seed_bank_vs_baseline": round(bank_rate / REF_CPU_STEPS_PER_SEC, 2),
         "device": jax.devices()[0].platform,
+        **({"relay_down": True,
+            "error": "axon TPU relay unreachable; this is a CPU-fallback "
+                     "measurement, not the TPU number"}
+           if os.environ.get("BENCH_RELAY_DOWN") else {}),
     }), flush=True)
 
 
@@ -307,7 +315,20 @@ def parent_main() -> None:
     for s in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
         signal.signal(s, on_signal)
 
-    _await_axon_tunnel(min(RELAY_PROBE_BUDGET, sup.remaining() - 60))
+    relay_ok = _await_axon_tunnel(min(RELAY_PROBE_BUDGET,
+                                      sup.remaining() - 60))
+    if not relay_ok and not os.environ.get("BENCH_FORCE_PLATFORM"):
+        # The TPU is unreachable (relay dead — round-3 incident). A
+        # device-init attempt would burn the whole deadline blocking in
+        # the axon client, so fall back to a REAL measurement on CPU,
+        # explicitly flagged: the JSON line carries `relay_down` and
+        # `device: cpu` so the number is attributable and the round
+        # artifact is never an error-only line when the host TPU
+        # plumbing is the thing that broke.
+        os.environ["BENCH_FORCE_PLATFORM"] = "cpu"
+        os.environ["BENCH_RELAY_DOWN"] = "1"
+        print("bench: axon relay down — measuring on CPU fallback "
+              "(flagged in the JSON line)", file=sys.stderr, flush=True)
 
     attempt = 0
     last_msg = "global budget exhausted before any worker attempt"
