@@ -105,6 +105,42 @@ def verdict_for(ours, ref, mode_name):
     return f"{word} ({diff:+.3f} {mode_name}, p={p:.2f})", diff, p
 
 
+def power_note(pairs):
+    """For every not-significant row, quantify WHY it is unresolved:
+    the minimum detectable effect (MDE) of the comparison as run
+    (two-sided alpha=.05, 80% power, normal approximation on the Welch
+    SE), and the seeds/arm a future equal-n study would need to resolve
+    the observed delta. Rows with |delta| << MDE are ties at any
+    practical n; rows with MDE only modestly above |delta| are
+    power-limited." Prints nothing if every row resolved."""
+    z = 1.959964 + 0.841621  # z_{.975} + z_{.80}
+    unresolved = [(name, a, b, d, p) for name, a, b, d, p in pairs
+                  if p is not None and not np.isnan(p) and p >= 0.05]
+    if not unresolved:
+        return
+    print("\nPower analysis for unresolved (ns) rows "
+          "(alpha=.05 two-sided, power=.80):")
+    print("| Model | observed Δ | MDE as run | n/arm to resolve "
+          "observed Δ | reading |")
+    print("|---|---|---|---|---|")
+    for name, a, b, d, p in sorted(unresolved):
+        se = np.sqrt(a["f1_std"] ** 2 / a["n"] + b["f1_std"] ** 2 / b["n"])
+        mde = z * se
+        if abs(d) > 1e-12:
+            n_need = int(np.ceil(z ** 2 * (a["f1_std"] ** 2
+                                           + b["f1_std"] ** 2) / d ** 2))
+        else:
+            n_need = None
+        if abs(d) < mde / 3:
+            reading = "tie (Δ≪MDE; no practical n resolves it)"
+        elif n_need is not None and n_need <= 60:
+            reading = f"power-limited (resolvable at n≈{n_need}/arm)"
+        else:
+            reading = "tie-ish (resolving would need an impractical n)"
+        n_str = "∞" if n_need is None else str(n_need)
+        print(f"| {name} | {d:+.3f} | ±{mde:.3f} | {n_str} | {reading} |")
+
+
 def bh_note(tests, label):
     """Benjamini-Hochberg at q=0.05 over the (name, diff, p) tests that
     were nominally significant; prints which calls survive."""
@@ -156,6 +192,7 @@ def main():
     models = sorted(set(ref) | set(ours_strict) | set(ours_bal))
     chosen_mode = {}   # model -> mode the macro verdict used
     macro_tests = []
+    macro_pairs = []   # (name, ours_stats, ref_stats, diff, p) for power
     print("| Model | Reference (torch CPU) | Ours strict | Ours balanced "
           "| Verdict |")
     print("|---|---|---|---|---|")
@@ -170,6 +207,7 @@ def main():
             chosen_mode[m] = mode_name
             verdict, diff, pval = verdict_for(best, r, mode_name)
             macro_tests.append((m, diff, pval))
+            macro_pairs.append((m, best, r, diff, pval))
         print(f"| {m} | {fmt(r)} | {fmt(s)} | {fmt(b)} | {verdict} |")
     for k in sorted(extra):
         e = extra[k]
@@ -182,6 +220,7 @@ def main():
             verdict = "—"
         print(f"| {k} | {fmt(r)} | {fmt(e)} | — | {verdict} |")
     bh_note(macro_tests, "macro-F1")
+    power_note(macro_pairs)
 
     if not args.binary:
         return
