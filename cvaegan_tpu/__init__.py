@@ -27,8 +27,12 @@ import jax as _jax
 # `import cvaegan_tpu; m.fit(ds)` previously got nothing). Respects an
 # explicit user setting (env JAX_COMPILATION_CACHE_DIR or a prior
 # jax.config.update); override the default location with
-# CVAEGAN_TPU_CACHE_DIR, or set it empty to disable.
-_cache_dir = _os.environ.get("CVAEGAN_TPU_CACHE_DIR", "/tmp/jaxcache")
+# CVAEGAN_TPU_CACHE_DIR, or set it empty to disable. The default is
+# per-user (ADVICE r4): a world-shared /tmp path lets another user
+# pre-own the directory or seed it with stale compiled executables.
+_cache_dir = _os.environ.get(
+    "CVAEGAN_TPU_CACHE_DIR", f"/tmp/jaxcache-{_os.getuid()}"
+)
 if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

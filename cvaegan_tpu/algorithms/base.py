@@ -108,7 +108,30 @@ class GenerativeTrainer:
         self.txs: Dict[str, Any] = {}
         self._data: Optional[Dict[str, Any]] = None
         self.loss_history: Dict[str, list] = {k: [] for k in self.loss_keys}
-        self._gen_cache: Dict[Any, Any] = {}
+        # jitted-closure caches, namespaced by compute-dtype policy —
+        # see the `_gen_cache` property.
+        self._gen_caches: Dict[str, Dict[Any, Any]] = {}
+
+    @property
+    def _gen_cache(self) -> Dict[Any, Any]:
+        """Jitted generation/reconstruction closures for the ACTIVE
+        compute-dtype policy.
+
+        The policy (`settings.gan.compute_dtype` / `dtype_override`) is
+        read at trace time, so a cached program silently pins whatever
+        policy was active when it was traced. Namespacing the cache by
+        policy (ADVICE r4) makes a mid-process flip re-trace instead of
+        reusing stale-precision executables — for every trainer family,
+        since subclasses share this property. NOTE: `.clear()` on this
+        view empties only the active policy's namespace; sites that
+        invalidate because `self.state` changed must use
+        `_clear_gen_caches()` to drop every namespace.
+        """
+        return self._gen_caches.setdefault(self._policy_key(), {})
+
+    def _clear_gen_caches(self) -> None:
+        """Drop jitted closures for ALL dtype policies (state changed)."""
+        self._gen_caches.clear()
 
     # ------------------------------------------------------------------ rng
     def _next_key(self) -> jax.Array:
@@ -232,10 +255,27 @@ class GenerativeTrainer:
             self.state = self._build_state(self._next_key())
 
     # ------------------------------------------------------------------ fit
+    @staticmethod
+    def _policy_key() -> str:
+        """The active compute-dtype policy as a cache-key component.
+
+        Per-instance jit caches are keyed on this (ADVICE r4): the policy
+        is read at TRACE time, so a cached program silently pins the
+        policy that was active when it was traced. Keying the caches on
+        the policy makes a mid-process flip of
+        `settings.gan.compute_dtype` (or a `dtype_override` block)
+        re-trace instead of reusing stale-precision executables.
+        """
+        from cvaegan_tpu.models.layers import compute_dtype
+
+        return str(compute_dtype())
+
     def _chunk_runner(self):
-        """Jitted multi-epoch runner, cached on the trainer so repeated
-        fit() calls reuse the trace/executable."""
-        fn = getattr(self, "_run_chunk_fn", None)
+        """Jitted multi-epoch runner, cached on the trainer (keyed on the
+        dtype policy) so repeated fit() calls reuse the trace/executable."""
+        dt = self._policy_key()
+        cached = getattr(self, "_run_chunk_fn", None)
+        fn = cached[1] if cached is not None and cached[0] == dt else None
         if fn is None:
             @functools.partial(jax.jit, static_argnames=("n_epochs",),
                                donate_argnums=(0,))
@@ -259,7 +299,7 @@ class GenerativeTrainer:
                 return state, losses
 
             fn = run_chunk
-            self._run_chunk_fn = fn
+            self._run_chunk_fn = (dt, fn)
         return fn
 
     def fit(self, dataset) -> None:
@@ -298,11 +338,11 @@ class GenerativeTrainer:
                 # Expose the freshly-trained state to generation APIs used
                 # inside the hook (e.g. TMG-GAN scatter snapshots).
                 self.state = state
-                self._gen_cache.clear()
+                self._clear_gen_caches()
                 self._on_chunk_end(e)
         self.state = state
         # Invalidate jitted generation closures captured over the old state.
-        self._gen_cache.clear()
+        self._clear_gen_caches()
 
     def fit_streamed(
         self,
@@ -487,7 +527,11 @@ class GenerativeTrainer:
         """Classifier-filtered generation (reference
         `src/cvae_gan.py:347-378`): keep samples with
         max softmax prob > threshold AND argmax == target_label; give up
-        after 20 consecutive candidate batches with zero survivors."""
+        once a cumulative budget of 20 zero-survivor candidate batches
+        is spent (the reference never refunds patience on success —
+        matched here, ADVICE r4). Known deviation: candidate batches are
+        256-4096 rows (MXU-sized) instead of the reference's <=10, so
+        one "empty batch" here is a much stronger no-yield signal."""
         assert self.state is not None, "call fit() first"
         if confidence_threshold is None:
             confidence_threshold = self.hparams.get("confidence_threshold", 0.5)
@@ -497,8 +541,9 @@ class GenerativeTrainer:
         # Fully on-device rejection sampling: ONE dispatch runs the whole
         # generate->classify->filter->top-up loop as a lax.while_loop,
         # preserving the reference's observable semantics (threshold,
-        # correct-class check, patience=20 consecutive empty candidate
-        # batches, `src/cvae_gan.py:347-378`).
+        # correct-class check, cumulative patience budget of 20 empty
+        # candidate batches with no refund on success,
+        # `src/cvae_gan.py:347-378`; deviation: larger candidate batches).
         #
         # Compile economics (VERDICT r3 item 3): the wanted count is a
         # TRACED scalar; only the buffer CAPACITY (a power-of-two bucket
@@ -545,8 +590,10 @@ class GenerativeTrainer:
                     buf = buf.at[slot].set(
                         jnp.where(ok[:, None], x, buf[slot]))
                     n_new = jnp.sum(ok)
+                    # cumulative budget — no refund on a successful batch
+                    # (matches reference src/cvae_gan.py:350,376)
                     patience = jnp.where(jnp.sum(valid) == 0, patience - 1,
-                                         jnp.int32(20))
+                                         patience)
                     return key, buf, count + n_new, patience
 
                 buf0 = jnp.zeros((cap + 1, feature_num), jnp.float32)

@@ -192,7 +192,7 @@ class SeedBank:
         # Unstack: hand each trainer its replica's final state + history.
         for i, t in enumerate(self.trainers):
             t.state = _row(state, i)
-            t._gen_cache.clear()
+            t._clear_gen_caches()
             for k in t.loss_keys:
                 t.loss_history[k].extend(
                     np.concatenate([c[:, i] for c in all_losses[k]]).tolist())
@@ -205,7 +205,14 @@ class SeedBank:
         return self.trainers
 
     def _chunk_runner(self, template):
-        fn = getattr(self, "_run_chunk_fn", None)
+        # keyed on the compute-dtype policy (ADVICE r4): the vmapped
+        # epoch body reads it at trace time, so a policy flip between
+        # fit() calls must re-trace, not reuse the old-precision program.
+        from cvaegan_tpu.models.layers import compute_dtype
+
+        dt = str(compute_dtype())
+        cached = getattr(self, "_run_chunk_fn", None)
+        fn = cached[1] if cached is not None and cached[0] == dt else None
         if fn is None:
             @functools.partial(jax.jit, static_argnames=("n_epochs",),
                                donate_argnums=(0,))
@@ -233,5 +240,6 @@ class SeedBank:
                 # scan stacks epochs in front: leaves [n_epochs, K]
                 return state, losses
 
-            fn = self._run_chunk_fn = run_chunk
+            fn = run_chunk
+            self._run_chunk_fn = (dt, fn)
         return fn

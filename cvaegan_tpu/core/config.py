@@ -42,9 +42,12 @@ class GanConfig:
     # quality parity study is experiments/bank_scaling.py --dtype
     # bfloat16 + BASELINE.md). The policy is read from the PROCESS-WIDE
     # `settings` instance at TRACE time (mirroring the reference's
-    # module-global config semantics): set it before building/fitting a
-    # trainer; already-compiled programs keep the policy they were
-    # traced under.
+    # module-global config semantics). Trainer-held program caches are
+    # NAMESPACED by the active policy (ADVICE r4, `BaseTrainer._gen_cache`
+    # / `_chunk_runner`), so flipping this mid-process re-traces on the
+    # next call instead of silently reusing old-precision executables;
+    # the setting is still not thread-safe (one policy per process at a
+    # time, like the reference's global config).
     compute_dtype: str = "float32"
 
 

@@ -356,10 +356,9 @@ def make_cli(description: str):
 
 def apply_cli_settings(args) -> None:
     """Apply CLI overrides to the global settings (no dataset load)."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # compile cache: the package root already configured the per-user
+    # default (respecting CVAEGAN_TPU_CACHE_DIR / prior user setting);
+    # nothing to set here (ADVICE r4: don't re-pin a world-shared path).
     settings = config_lib.settings
     settings.seed = args.seed
     if args.test_mode:

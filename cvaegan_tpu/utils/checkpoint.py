@@ -64,4 +64,4 @@ def restore_checkpoint(trainer, path, dataset) -> None:
     trainer.state = ckptr.restore(path / "state", jax.device_get(trainer.state))
     trainer._key_counter = int(meta["key_counter"])
     trainer.loss_history = {k: list(v) for k, v in meta["loss_history"].items()}
-    trainer._gen_cache.clear()
+    trainer._clear_gen_caches()

@@ -125,6 +125,11 @@ def run_bank(model_name: str, seeds, fixtures_dir, balanced: bool,
         try:
             rec = run_one(model_name, s, fixture, balanced, threshold,
                           warm_start=warm_start, model=trainer)
+            # run_one derives mode from its own args and knows nothing of
+            # the dtype tag — stamp the FULL tag or a +bf16 arm silently
+            # pollutes the f32 rows (round-5 fix; the first bf16 CPU run
+            # hit exactly this and was re-tagged in place).
+            rec["mode"] = mode_tag
             rec["fit_mode"] = "bank"
             rec["bank_steps_per_sec"] = round(bank.steps_per_sec)
         except Exception as e:
@@ -213,6 +218,7 @@ def main():
                     rec = run_one(model_name, seed, fixture, balanced,
                                   args.threshold,
                                   warm_start=not args.no_warm_start)
+                    rec["mode"] = mode_tag  # include the dtype tag
                 except Exception as e:
                     traceback.print_exc()
                     rec = {"framework": "cvaegan_tpu", "model": model_name,

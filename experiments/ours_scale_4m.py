@@ -97,6 +97,12 @@ def main():
            "seed": args.seed, "device": str(jax.devices()[0])}
 
     root = pathlib.Path(args.data)
+    # corpus-type marker (ADVICE r4): the row-count guard below cannot
+    # tell the faithful corpus from the generic one (their train-row
+    # totals are ~identical), so emit a corpus.json tag at write time
+    # and refuse to silently reuse a mismatched corpus.
+    want_type = "car_hacking_faithful" if args.faithful else "generic"
+    marker = root / "corpus.json"
     if not (root / "x_train.csv").exists():
         t0 = time.time()
         if args.faithful:
@@ -105,12 +111,22 @@ def main():
 
             x, y, meta = synthetic_car_hacking(args.frames, seed=0)
             write_split(root, x, y, 5, test_size=0.1, seed=0)
-            rec["corpus"] = "car_hacking_faithful"
             rec["class_proportions"] = meta["achieved_proportions"]
         else:
             emit_corpus(root, args.frames)
+        marker.write_text(json.dumps(
+            {"type": want_type, "frames": args.frames, "seed": 0}))
         rec["emit_seconds"] = round(time.time() - t0, 1)
         print("corpus emitted:", rec.get("emit_seconds"), "s", flush=True)
+    else:
+        have = (json.loads(marker.read_text()) if marker.exists()
+                else {"type": "generic", "frames": None})  # pre-marker dirs
+        if have["type"] != want_type:
+            raise SystemExit(
+                f"corpus in {root} is {have['type']!r} but this run "
+                f"requested {want_type!r}; point --data at a fresh dir "
+                "or delete the old CSVs")
+    rec["corpus"] = want_type
 
     from cvaegan_tpu.core import config as config_lib
     from cvaegan_tpu.data.tabular import TabularDataset

@@ -133,3 +133,41 @@ def test_bf16_zoo_smoke(bf16_policy, blob_dataset, model_name):
     m.fit(blob_dataset)
     for k, vals in m.loss_history.items():
         assert np.isfinite(vals).all(), f"{model_name} non-finite {k}"
+
+
+def test_policy_flip_retraces_cached_programs(fast_settings, blob_dataset):
+    """ADVICE r4: the policy is read at trace time, so trainer-held jit
+    caches must be NAMESPACED by policy — flipping
+    `settings.gan.compute_dtype` mid-process on a live trainer re-traces
+    instead of silently reusing old-precision executables."""
+    from cvaegan_tpu.models.layers import compute_dtype, dtype_override
+
+    m = cvaegan_tpu.CVAEGAN()
+    m.verbose = False
+    m.fit(blob_dataset)  # traced under f32
+    f32_runner = m._chunk_runner()
+    m.generate_samples(0, 8)
+    assert set(m._gen_caches) == {"float32"}
+
+    fast_settings.gan.compute_dtype = "bfloat16"
+    try:
+        assert str(compute_dtype()) == "bfloat16"
+        # generation: new namespace, fresh closure; old one retained
+        m.generate_samples(0, 8)
+        assert set(m._gen_caches) == {"float32", "bfloat16"}
+        assert (m._gen_caches["float32"]["gen"]
+                is not m._gen_caches["bfloat16"]["gen"])
+        # fit runner: re-traced under the new policy
+        assert m._chunk_runner() is not f32_runner
+        # flip back: the f32 closures are reused as-is
+        fast_settings.gan.compute_dtype = "float32"
+        assert m._gen_cache["gen"] is m._gen_caches["float32"]["gen"]
+        # dtype_override wins over the global setting for cache routing
+        with dtype_override("bfloat16"):
+            assert m._gen_cache is m._gen_caches["bfloat16"]
+    finally:
+        fast_settings.gan.compute_dtype = "float32"
+
+    # state-changing paths drop EVERY namespace
+    m.fit(blob_dataset)
+    assert set(m._gen_caches) <= {"float32"}  # only fit's own traces
