@@ -86,10 +86,15 @@ def test_sharded_epoch_matches_single_device(model_name, blob_dataset,
         np.testing.assert_allclose(single[k], sharded[k], rtol=5e-2, atol=5e-3)
 
 
-@pytest.mark.parametrize("model_name", ["CVAEGAN", "TMGGAN"])
+@pytest.mark.parametrize("model_name", ["CVAEGAN", "TMGGAN", "CTGAN",
+                                         "QG_SMOTE"])
 def test_sharded_full_fit_parity(model_name, blob_dataset, fast_settings):
-    """Full-fit (50-epoch) sharded-vs-single parity for the two
-    structurally hardest trainers (VERDICT r3 item 7a). Bit parity over
+    """Full-fit (50-epoch) sharded-vs-single parity for the four
+    structurally hardest trainers: the 4-net alternating flagship, the
+    vmapped TMG generator bank (VERDICT r3 item 7a), and — VERDICT r4
+    item 5 — the two quirkiest state machines, CTGAN (per-example
+    `jax.grad` gradient penalty) and QG-SMOTE (5-net pinball step).
+    Bit parity over
     3250 sequential optimizer updates is not the oracle — sharded
     reductions reorder fp32 sums and GAN dynamics amplify the drift —
     so the contract is: (1) the first epoch matches tightly (identical
