@@ -490,10 +490,18 @@ class GenerativeTrainer:
     def generate_samples_fast(self, target_label: int, num: int) -> np.ndarray:
         """Prior sampling through the fused Pallas MLP kernel
         (`cvaegan_tpu.kernels.fused_mlp`): eval-mode BatchNorm folded into
-        the matmuls, all four layers in one VMEM-resident kernel — ~25%
-        faster than the XLA path at device rate on TPU. Only available
-        for the standard MLP generator family; falls back with
-        NotImplementedError otherwise."""
+        the matmuls, all four layers in one VMEM-resident kernel.
+
+        Measured profitability (PARITY.md kernel-profitability note,
+        round-2 TPU artifact): at device rate XLA's fused
+        `generate_samples` is AHEAD (149.9M vs 123.6M samples/s) — XLA
+        already emits a near-optimal fusion for this tiny-MLP chain, so
+        this kernel is kept as the Pallas serving example and for shapes
+        where hand-fusion may win, not as the default. (A round-1 "+24%"
+        readout did not survive the corrected benchmark; re-anchor from
+        BENCH_r05 when the relay-gated queue recaptures generation.)
+        Only available for the standard MLP generator family; falls back
+        with NotImplementedError otherwise."""
         assert self.state is not None, "call fit() first"
         from cvaegan_tpu.kernels import fused_mlp as fused
 
