@@ -164,6 +164,79 @@ def bh_note(tests, label):
               "no nominally significant differences")
 
 
+def bf16_table(ours_rows):
+    """The bf16 compute-policy quality-parity block (BASELINE.md):
+    mode 'balanced+bf16' vs 'balanced' on the same per-seed fixtures —
+    unpaired Welch plus the stronger paired-by-seed test."""
+    from scipy import stats
+
+    models = sorted({r["model"] for r in ours_rows
+                     if r["mode"] == "balanced+bf16"})
+    if not models:
+        print("no balanced+bf16 rows found")
+        return
+    print("| Model | f32 (balanced) | bf16 (balanced+bf16) | macro Δ "
+          "(Welch p / paired p) | binary Δ (p) | yield f32 / bf16 |")
+    print("|---|---|---|---|---|---|")
+    for m in models:
+        f32 = {r["seed"]: r for r in ours_rows
+               if r["model"] == m and r["mode"] == "balanced"}
+        bf = {r["seed"]: r for r in ours_rows
+              if r["model"] == m and r["mode"] == "balanced+bf16"}
+        a = np.asarray([r["macro_f1"] for r in bf.values()])
+        b = np.asarray([r["macro_f1"] for r in f32.values()])
+        _, p = stats.ttest_ind(a, b, equal_var=False)
+        common = sorted(set(f32) & set(bf))
+        _, pp = stats.ttest_rel([bf[s]["macro_f1"] for s in common],
+                                [f32[s]["macro_f1"] for s in common])
+        ba = np.asarray([r["binary_f1"] for r in bf.values()])
+        bb = np.asarray([r["binary_f1"] for r in f32.values()])
+        _, pb = stats.ttest_ind(ba, bb, equal_var=False)
+        ga = np.mean([r["generated"] for r in f32.values()])
+        gb = np.mean([r["generated"] for r in bf.values()])
+        print(f"| {m} | {b.mean():.3f}±{b.std(ddof=1):.3f} (n={len(b)}) "
+              f"| {a.mean():.3f}±{a.std(ddof=1):.3f} (n={len(a)}) "
+              f"| {a.mean() - b.mean():+.3f} (p={p:.2f} / {pp:.2f}) "
+              f"| {ba.mean() - bb.mean():+.3f} (p={pb:.2f}) "
+              f"| {ga:.1f} / {gb:.1f} |")
+
+
+def faithful_table(path):
+    """The faithful Car-Hacking stand-in head-to-head
+    (`experiments/faithful_multiseed.py`): reference strict vs ours
+    strict/balanced, macro+binary+yield+wall-clock."""
+    rows = load(path)
+    if not rows:
+        print(f"no rows in {path}")
+        return
+    arms = {}
+    for r in rows:
+        arms.setdefault((r["framework"], r["mode"]), []).append(r)
+    ref = arms.get(("reference-torch-cpu", "strict"))
+    print("| Arm | n | macro-F1 | binary-F1 | yield | total s/seed "
+          "| vs ref (macro, Welch) |")
+    print("|---|---|---|---|---|---|---|")
+    from scipy import stats
+
+    for (fw, mode), rs in sorted(arms.items()):
+        f1 = np.asarray([r["macro_f1"] for r in rs])
+        b1 = np.asarray([r["binary_f1"] for r in rs])
+        gen = np.mean([r["generated"] for r in rs])
+        req = np.mean([r["requested"] for r in rs])
+        tot = np.mean([r["total_seconds"] for r in rs])
+        v = "—"
+        if ref is not None and (fw, mode) != ("reference-torch-cpu",
+                                              "strict"):
+            rf = np.asarray([r["macro_f1"] for r in ref])
+            d = f1.mean() - rf.mean()
+            _, p = stats.ttest_ind(f1, rf, equal_var=False)
+            v = f"{d:+.3f} (p={p:.2f})"
+        print(f"| {fw} {mode} | {len(rs)} "
+              f"| {f1.mean():.3f}±{f1.std(ddof=1):.3f} "
+              f"| {b1.mean():.3f}±{b1.std(ddof=1):.3f} "
+              f"| {gen:.0f}/{req:.0f} | {tot:.0f} | {v} |")
+
+
 def main():
     p = argparse.ArgumentParser()
     here = pathlib.Path(__file__).parent
@@ -174,7 +247,19 @@ def main():
     p.add_argument("--binary", action="store_true",
                    help="also print the binary-F1 table (same runs, "
                         "same per-model mode as the macro verdict)")
+    p.add_argument("--bf16", action="store_true",
+                   help="print ONLY the bf16-vs-f32 quality-parity block")
+    p.add_argument("--faithful", action="store_true",
+                   help="print ONLY the faithful-stand-in head-to-head "
+                        "table (faithful_multiseed.jsonl)")
     args = p.parse_args()
+
+    if args.bf16:
+        bf16_table(load(args.ours))
+        return
+    if args.faithful:
+        faithful_table(here / "results" / "faithful_multiseed.jsonl")
+        return
 
     ref_rows = load(args.ref)
     ours_rows = load(args.ours)
