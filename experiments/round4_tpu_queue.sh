@@ -1,4 +1,8 @@
 #!/bin/bash
+# SUPERSEDED (round 5): use experiments/round5_tpu_queue.sh, which waits
+# with backoff on a down relay and records per-stage done markers.
+# Kept for the round-4 record.
+#
 # Round-4 TPU measurement queue — run when the axon relay is back.
 #
 # Serializes every TPU leg pending on the relay outage (VERDICT r3 items
