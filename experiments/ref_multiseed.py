@@ -19,6 +19,7 @@ CPU-only (torch); safe to run concurrently with TPU-side work.
 """
 
 import argparse
+import importlib
 import json
 import pathlib
 import shutil
@@ -60,6 +61,10 @@ def setup_refrun():
         shutil.copytree(REF_SRC, run, dirs_exist_ok=True)
     (run / "context.py").write_text("")
     sys.path.insert(0, str(run))
+    # If REF_RUN was on sys.path before the copy (callers insert it
+    # early), Python cached a negative finder for the then-missing dir
+    # and `import src` fails forever after. Drop the stale cache.
+    importlib.invalidate_caches()
 
 
 def load_fixture(path):
