@@ -492,14 +492,15 @@ class GenerativeTrainer:
         (`cvaegan_tpu.kernels.fused_mlp`): eval-mode BatchNorm folded into
         the matmuls, all four layers in one VMEM-resident kernel.
 
-        Measured profitability (PARITY.md kernel-profitability note,
-        round-2 TPU artifact): at device rate XLA's fused
-        `generate_samples` is AHEAD (149.9M vs 123.6M samples/s) — XLA
-        already emits a near-optimal fusion for this tiny-MLP chain, so
-        this kernel is kept as the Pallas serving example and for shapes
-        where hand-fusion may win, not as the default. (A round-1 "+24%"
-        readout did not survive the corrected benchmark; re-anchor from
-        BENCH_r05 when the relay-gated queue recaptures generation.)
+        Measured profitability (PARITY.md kernel-profitability note;
+        round-5 recapture `experiments/results/bench_tpu_round5.json`):
+        at device rate XLA's fused `generate_samples` is AHEAD (146.6M
+        vs 113.5M samples/s; round 2 measured 149.9M vs 123.6M — same
+        verdict) — XLA already emits a near-optimal fusion for this
+        tiny-MLP chain, so this kernel is kept as the Pallas serving
+        example and for shapes where hand-fusion may win, not as the
+        default. (A round-1 "+24%" readout did not survive the
+        corrected device-rate benchmark.)
         Only available for the standard MLP generator family; falls back
         with NotImplementedError otherwise."""
         assert self.state is not None, "call fit() first"
