@@ -18,8 +18,13 @@ concurrent access):
 import argparse
 import json
 import pathlib
+import sys
 import time
 import traceback
+
+REPO = pathlib.Path(__file__).parent.parent
+if str(REPO) not in sys.path:  # run as `python experiments/<this>.py`
+    sys.path.insert(0, str(REPO))
 
 import jax
 
